@@ -1,0 +1,121 @@
+"""Frozen configuration for the rambl_tpu pipeline.
+
+The reference (homopolymer/RAMBL, SURVEY.md L1) drives BWA/samtools with CLI
+flags; here every knob that affects output bits lives in one frozen dataclass so
+that the NumPy oracle and the TPU path consume *identical* parameters and the
+pipeline is reproducible across runs, device counts and shardings
+(SURVEY.md section 4.2 determinism requirement).
+
+The five driver configs (BASELINE.json:6-12) are exposed as named PRESETS.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoringParams:
+    """Affine-gap local-alignment scoring (BWA-MEM default parameterization).
+
+    Gap of length g costs gap_open + g * gap_extend.
+    """
+
+    match: int = 1
+    mismatch: int = -4
+    gap_open: int = 6
+    gap_extend: int = 1
+
+    @property
+    def neg_inf(self) -> int:
+        # Safe "minus infinity" for int32 DP that cannot overflow when added to.
+        return -(1 << 20)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # ---- read/reference geometry (static shapes; SURVEY.md section 7.4.2) ----
+    read_len_max: int = 128          # reads padded to this length (sublane axis)
+    window_margin: int = 16          # ref window = read_len_max + 2*margin
+    ref_len_max: int = 2048          # max reference/consensus sequence length
+
+    # ---- seeding ----
+    k: int = 15                      # k-mer size (2k=30 bits, fits int32 keys)
+    seed_stride: int = 8             # query k-mer sampling stride
+    bucket_cap: int = 16             # max hits scanned per seed-table bucket
+    diag_bin: int = 16               # diagonal quantization for candidate voting
+    max_candidates: int = 4          # top-C candidate windows per read per strand
+
+    # ---- alignment ----
+    scoring: ScoringParams = dataclasses.field(default_factory=ScoringParams)
+    min_score: int = 40              # below this a read is unaligned (bin -1)
+    max_gap_per_row: int = 8         # traceback: max consecutive ref-gap moves
+
+    # ---- binning ----
+    bin_score_delta: int = 0         # hits within delta of best vote for LCA
+
+    # ---- DP-means clustering ----
+    dp_lambda: float = 0.12          # distance threshold for spawning clusters
+    max_clusters_per_bin: int = 8
+    max_poly_cols: int = 64          # polymorphic columns used as features
+    poly_min_minor_frac: float = 0.1  # minor-allele fraction to call a column
+    poly_min_minor_count: int = 2
+    dp_max_iters: int = 16
+    min_cluster_reads: int = 3       # clusters below this are not assembled
+
+    # ---- consensus / iteration ----
+    min_coverage: int = 2            # min pileup depth to call a base
+    max_assembly_iters: int = 5
+    max_genes: int = 64              # max consensus sequences carried per round
+
+    # ---- batching / parallelism ----
+    batch_size: int = 1024           # reads per device batch (global)
+    mesh_data_axis: str = "data"
+    shard_index: bool = False        # False: replicate index; True: ring-sharded
+
+    # ---- misc ----
+    seed: int = 0                    # RNG seed for any simulated data
+
+    @property
+    def window_len(self) -> int:
+        return self.read_len_max + 2 * self.window_margin
+
+    @property
+    def n_diag_bins(self) -> int:
+        # diagonal = ref_pos - read_pos ranges over [-read_len_max, ref_len_max)
+        return (self.ref_len_max + self.read_len_max) // self.diag_bin + 2
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "PipelineConfig":
+        d = json.loads(s)
+        sc = d.pop("scoring", None)
+        cfg = PipelineConfig(**d)
+        if sc is not None:
+            cfg = dataclasses.replace(cfg, scoring=ScoringParams(**sc))
+        return cfg
+
+
+def _preset(**kw) -> PipelineConfig:
+    return PipelineConfig(**kw)
+
+
+# The five driver configs (BASELINE.json:6-12). Sizes here parameterize the
+# *pipeline*; dataset sizes live with the dataset generators / CLI args.
+PRESETS = {
+    # 1. Toy mock community: 10k x 100bp reads vs 100-seq Greengenes subset.
+    "toy": _preset(batch_size=1024, max_genes=16),
+    # 2. Small mock community: ~20 taxa, 1M reads, single host.
+    "small": _preset(batch_size=8192, max_genes=64),
+    # 3. Human gut metagenome: ~10M reads vs full Greengenes, single host.
+    "gut": _preset(batch_size=16384, max_genes=256, max_clusters_per_bin=16),
+    # 4. Multi-sample cohort: 5 metagenomes, shared sharded index.
+    "cohort": _preset(batch_size=16384, max_genes=256, shard_index=True),
+    # 5. Deep metagenome: >=100M reads, N>=2 hosts, sharded index + psum merge.
+    "deep": _preset(batch_size=32768, max_genes=512, shard_index=True,
+                    max_clusters_per_bin=16),
+}

@@ -1,0 +1,136 @@
+"""Seed-table index builder: the TPU-native replacement for `bwa index`.
+
+The reference builds a BWT/FM-index with suffix-array sampling (SURVEY.md
+section 2.2 item 1, BWA in C). FM-index backward search is pointer-chasing and
+hostile to TPU memory (SURVEY.md section 7.4.3), so the TPU-native index is a
+*hashed k-mer seed table laid out as dense int32 tensors*:
+
+- all k-mers of every reference sequence are enumerated on the host (NumPy),
+- keys are hashed into P = 2^b buckets (multiplicative hash),
+- entries are stored CSR-style: `bucket_start[P+1]` offsets into flat
+  `entry_key/entry_ref/entry_pos` arrays, sorted within a bucket by
+  (key, ref_id, pos) so any capped scan is deterministic.
+
+Device-side lookup (rambl_tpu.ops.seed / oracle.seed) is then pure
+gather + compare over dense arrays: exactly the access pattern TPUs like.
+The table is replicated across devices when it fits, or sharded by bucket
+range with ring rotation of read blocks (SURVEY.md section 2.3 "TP/SP").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from rambl_tpu.io.pack import kmer_keys
+
+# Knuth multiplicative hashing constant (2^32 / golden ratio), as used by many
+# open-addressing schemes; applied to the 2k-bit k-mer key.
+_HASH_MULT = np.uint64(2654435769)
+
+
+def hash_kmer(keys: np.ndarray, n_bits: int) -> np.ndarray:
+    """Multiplicative hash of k-mer keys into [0, 2^n_bits). int64-safe."""
+    k = np.asarray(keys).astype(np.uint64)
+    h = (k * _HASH_MULT) & np.uint64(0xFFFFFFFF)
+    return (h >> np.uint64(32 - n_bits)).astype(np.int64)
+
+
+@dataclasses.dataclass
+class SeedIndex:
+    k: int
+    n_bits: int                 # log2 number of buckets
+    bucket_start: np.ndarray    # (P+1,) int32 CSR offsets
+    entry_key: np.ndarray       # (n_entries,) int32 k-mer key (2k bits, k<=15)
+    entry_ref: np.ndarray       # (n_entries,) int32 reference id
+    entry_pos: np.ndarray       # (n_entries,) int32 position on reference
+    n_refs: int
+    max_bucket: int             # largest bucket size (diagnostic)
+
+    @property
+    def n_buckets(self) -> int:
+        return 1 << self.n_bits
+
+    @property
+    def n_entries(self) -> int:
+        return int(self.entry_key.shape[0])
+
+    def arrays(self) -> dict:
+        return dict(
+            bucket_start=self.bucket_start,
+            entry_key=self.entry_key,
+            entry_ref=self.entry_ref,
+            entry_pos=self.entry_pos,
+        )
+
+    def padded_entries(self, cap: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Dense (P, cap) views of the first `cap` entries of every bucket.
+
+        This is the layout the jitted lookup consumes: a plain 2D gather by
+        bucket id, no CSR indirection on device. Returns (keys, refs, pos) with
+        key == -1 marking empty slots.
+        """
+        P = self.n_buckets
+        keys = np.full((P, cap), -1, dtype=np.int32)
+        refs = np.zeros((P, cap), dtype=np.int32)
+        pos = np.zeros((P, cap), dtype=np.int32)
+        counts = np.diff(self.bucket_start)
+        take = np.minimum(counts, cap)
+        for b in np.nonzero(take)[0]:
+            s = self.bucket_start[b]
+            t = take[b]
+            keys[b, :t] = self.entry_key[s : s + t]
+            refs[b, :t] = self.entry_ref[s : s + t]
+            pos[b, :t] = self.entry_pos[s : s + t]
+        return keys, refs, pos
+
+
+def build_seed_index(
+    ref_seqs: np.ndarray,
+    ref_lens: np.ndarray,
+    k: int = 15,
+    n_bits: int | None = None,
+) -> SeedIndex:
+    """Build the CSR seed table from padded int8 reference codes.
+
+    k <= 15 keeps keys within int32 (2k = 30 bits). Bucket count defaults to
+    ~2x the entry count rounded up to a power of two (load factor ~0.5).
+    """
+    assert k <= 15, "k-mer keys must fit int32"
+    all_keys, all_refs, all_pos = [], [], []
+    for r in range(ref_seqs.shape[0]):
+        L = int(ref_lens[r])
+        keys, valid = kmer_keys(ref_seqs[r, :L], k)
+        idx = np.nonzero(valid)[0]
+        all_keys.append(keys[idx])
+        all_refs.append(np.full(idx.shape[0], r, dtype=np.int64))
+        all_pos.append(idx.astype(np.int64))
+    keys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.int64)
+    refs = np.concatenate(all_refs) if all_refs else np.zeros(0, np.int64)
+    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
+
+    n_entries = keys.shape[0]
+    if n_bits is None:
+        n_bits = max(8, int(np.ceil(np.log2(max(n_entries, 1) * 2 + 1))))
+
+    bucket = hash_kmer(keys, n_bits)
+    # Sort by (bucket, key, ref, pos): deterministic capped scans.
+    order = np.lexsort((pos, refs, keys, bucket))
+    bucket, keys, refs, pos = bucket[order], keys[order], refs[order], pos[order]
+
+    P = 1 << n_bits
+    counts = np.bincount(bucket, minlength=P)
+    bucket_start = np.zeros(P + 1, dtype=np.int32)
+    np.cumsum(counts, out=bucket_start[1:])
+
+    return SeedIndex(
+        k=k,
+        n_bits=n_bits,
+        bucket_start=bucket_start,
+        entry_key=keys.astype(np.int32),
+        entry_ref=refs.astype(np.int32),
+        entry_pos=pos.astype(np.int32),
+        n_refs=int(ref_seqs.shape[0]),
+        max_bucket=int(counts.max()) if P else 0,
+    )
