@@ -57,18 +57,26 @@ class PipelineConfig:
     bin_score_delta: int = 0         # hits within delta of best vote for LCA
 
     # ---- DP-means clustering ----
-    dp_lambda: float = 0.12          # distance threshold for spawning clusters
+    dp_lambda: float = 0.3           # distance threshold for spawning clusters
+    dp_spawn_min_orphans: int = 3    # orphans consistent with a seed orphan
+                                     # required to spawn a cluster from it
+    dp_spawn_scan: int = 8           # orphan seeds examined per iteration
     max_clusters_per_bin: int = 8
     max_poly_cols: int = 64          # polymorphic columns used as features
-    poly_min_minor_frac: float = 0.1  # minor-allele fraction to call a column
-    poly_min_minor_count: int = 2
+    # strict polymorphism criteria: sequencing errors (~0.5%/base) must not
+    # qualify, or error-seeded clusters proliferate and poison refinement
+    poly_min_minor_frac: float = 0.15  # minor-allele fraction to call a column
+    poly_min_minor_count: int = 4
     dp_max_iters: int = 16
     min_cluster_reads: int = 3       # clusters below this are not assembled
+    refine_min_excl: int = 8         # exclusive support to keep a non-primary
+                                     # gene during refinement pruning
 
     # ---- consensus / iteration ----
     min_coverage: int = 2            # min pileup depth to call a base
     max_assembly_iters: int = 5
     max_genes: int = 64              # max consensus sequences carried per round
+    full_len_min: int = 1200         # min length to report a gene "full-length"
 
     # ---- batching / parallelism ----
     batch_size: int = 1024           # reads per device batch (global)

@@ -17,7 +17,7 @@ import dataclasses
 
 import numpy as np
 
-MAX_DEPTH = 8  # Greengenes has 7 ranks + root
+MAX_DEPTH = 10  # Greengenes has 7 ranks + root; +1 for panel-gene leaves, +1 slack
 
 
 @dataclasses.dataclass

@@ -1,0 +1,174 @@
+"""Deterministic batched DP-means clustering (oracle).
+
+Replaces the reference's sequential, order-dependent DP-means (SURVEY.md
+section 3.3, hot loop #3) with a deterministic batched EM-style formulation -
+the *same* algorithm the jitted path runs, so assignments agree bit-for-bit
+(SURVEY.md section 7.4.4):
+
+features : per read, its base at each of <= max_poly_cols polymorphic pileup
+           columns of the bin (-1 where the read does not cover the column);
+distance : fraction of covered feature columns whose base differs from the
+           cluster's consensus base (reads covering 0 columns have distance 0);
+loop     : assign to nearest center (ties -> lowest cluster id); if any read's
+           distance > lambda and the cluster budget allows, spawn ONE cluster
+           per iteration seeded from the lowest-index orphan read; recompute
+           centers as per-cluster per-column argmax base (ties -> lowest base,
+           empty columns inherit the bin consensus); iterate to fixpoint or
+           dp_max_iters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+
+
+def bin_pileup(
+    query: np.ndarray, ref_col: np.ndarray, ref_len: int
+) -> np.ndarray:
+    """Base-count pileup (ref_len, 4) from aligned reads.
+
+    query: (N, L) int8 codes of aligned orientation; ref_col: (N, L) int32
+    global columns (-1 = unaligned position).
+    """
+    counts = np.zeros((ref_len, 4), dtype=np.int32)
+    ok = (ref_col >= 0) & (query < 4)
+    np.add.at(counts, (ref_col[ok], query[ok].astype(np.int64)), 1)
+    return counts
+
+
+def polymorphic_cols(counts: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
+    """First max_poly_cols columns (ascending) that are polymorphic."""
+    tot = counts.sum(axis=1)
+    top = counts.max(axis=1)
+    minor = tot - top
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(tot > 0, minor / np.maximum(tot, 1), 0.0)
+    is_poly = (
+        (tot >= cfg.min_coverage)
+        & (minor >= cfg.poly_min_minor_count)
+        & (frac >= cfg.poly_min_minor_frac)
+    )
+    cols = np.nonzero(is_poly)[0][: cfg.max_poly_cols]
+    return cols.astype(np.int32)
+
+
+def read_features(
+    query: np.ndarray, ref_col: np.ndarray, poly_cols: np.ndarray
+) -> np.ndarray:
+    """(N, P) int8: read base at each polymorphic column, -1 if not covered."""
+    N, L = query.shape
+    P = poly_cols.shape[0]
+    feat = np.full((N, P), -1, dtype=np.int8)
+    if P == 0:
+        return feat
+    # map column -> feature slot
+    col2slot = {int(c): s for s, c in enumerate(poly_cols)}
+    ok = ref_col >= 0
+    for n in range(N):
+        cols = ref_col[n][ok[n]]
+        bases = query[n][ok[n]]
+        for c, b in zip(cols, bases):
+            s = col2slot.get(int(c))
+            if s is not None and b < 4:
+                feat[n, s] = b
+    return feat
+
+
+def _consensus_of(feat: np.ndarray, member: np.ndarray, fallback: np.ndarray) -> np.ndarray:
+    """Per-column argmax base over member reads; ties -> lowest base; empty ->
+    fallback."""
+    P = feat.shape[1]
+    center = fallback.copy()
+    if member.sum() == 0 or P == 0:
+        return center
+    f = feat[member]
+    for p in range(P):
+        col = f[:, p]
+        col = col[col >= 0]
+        if col.size:
+            center[p] = np.argmax(np.bincount(col, minlength=4))
+    return center
+
+
+def _distances(feat: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """(N, K) masked-mismatch fraction distances."""
+    cov = feat[:, None, :] >= 0                              # (N, 1, P) -> bcast
+    diff = (feat[:, None, :] != centers[None, :, :]) & cov   # (N, K, P)
+    ncov = np.maximum(cov.sum(axis=2), 1)
+    return diff.sum(axis=2) / ncov
+
+
+def dp_means(feat: np.ndarray, cfg: PipelineConfig):
+    """Deterministic DP-means. Returns (assign (N,), centers (K, P), K)."""
+    N, P = feat.shape
+    fallback = np.zeros((P,), dtype=np.int8)
+    # bin consensus as cluster-0 init
+    all_members = np.ones((N,), bool)
+    fallback = _consensus_of(feat, all_members, fallback)
+    centers = [fallback]
+    assign = np.zeros((N,), np.int32)
+    if N == 0 or P == 0:
+        return assign, np.asarray(centers, np.int8), 1
+
+    for _ in range(cfg.dp_max_iters):
+        K = len(centers)
+        cen = np.asarray(centers, np.int8)
+        d = _distances(feat, cen)                   # (N, K)
+        new_assign = np.argmin(d, axis=1).astype(np.int32)  # ties -> lowest id
+        dmin = d[np.arange(N), new_assign]
+        orphans = dmin > cfg.dp_lambda
+        spawned = False
+        if int(orphans.sum()) >= cfg.dp_spawn_min_orphans and K < cfg.max_clusters_per_bin:
+            # spawn only from a seed orphan that other orphans agree with:
+            # isolated single-error reads must not found clusters. Scan the
+            # first dp_spawn_scan orphans (ascending read index) and take the
+            # first with >= dp_spawn_min_orphans consistent orphans (itself
+            # included; consistency = masked distance <= lambda over >=1
+            # commonly covered feature column).
+            oidx = np.nonzero(orphans)[0]
+            ofeat = feat[oidx]                                # (O, P)
+            for cand in oidx[: cfg.dp_spawn_scan]:
+                fv = feat[cand]
+                common = (ofeat >= 0) & (fv >= 0)[None, :]
+                ncom = common.sum(axis=1)
+                diff = ((ofeat != fv[None, :]) & common).sum(axis=1)
+                dist = np.where(ncom > 0, diff / np.maximum(ncom, 1), np.inf)
+                support = int(((ncom > 0) & (dist <= cfg.dp_lambda)).sum())
+                if support >= cfg.dp_spawn_min_orphans:
+                    c = np.where(fv >= 0, fv, fallback).astype(np.int8)
+                    centers.append(c)
+                    new_assign[int(cand)] = K
+                    spawned = True
+                    break
+        # recompute centers
+        cen_new = []
+        for k in range(len(centers)):
+            cen_new.append(_consensus_of(feat, new_assign == k, fallback))
+        changed = (new_assign != assign).any() or spawned
+        assign = new_assign
+        centers = cen_new
+        if not changed:
+            break
+
+    # merge clusters whose centers converged to the same vector (error-seeded
+    # clusters often collapse onto an existing variant): reassign members to
+    # the lowest-index duplicate, then compact ids in first-seen order.
+    cen = np.asarray(centers, np.int8)
+    K = cen.shape[0]
+    canon = np.arange(K)
+    for k in range(1, K):
+        for j in range(k):
+            if (cen[k] == cen[j]).all():
+                canon[k] = j
+                break
+    remap = -np.ones(K, np.int32)
+    nxt = 0
+    for k in range(K):
+        if canon[k] == k:
+            remap[k] = nxt
+            nxt += 1
+    assign = remap[canon[assign]]
+    cen = cen[[k for k in range(K) if canon[k] == k]]
+    return assign, cen, cen.shape[0]
