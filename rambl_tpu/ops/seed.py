@@ -1,0 +1,152 @@
+"""Seeding + candidate voting as jitted JAX.
+
+Bit-identical to rambl_tpu.oracle.seed (same deterministic rules; tested in
+tests/test_ops_parity.py). The CSR seed table is consumed by pure gathers:
+bucket offsets -> first `cap` entries -> key compare -> diagonal-bin votes ->
+two-key lax.sort for (votes desc, key asc) top-C selection. No pointer chasing
+- exactly the dense access pattern the TPU memory system wants (SURVEY.md
+section 7.4.3).
+
+The index arrays are passed as explicit tensors so they can be device_put with
+a NamedSharding (replicated, or bucket-range sharded for the ring path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rambl_tpu.config import PipelineConfig
+
+_HASH_MULT = jnp.uint32(2654435769)
+
+
+class SeedTable(NamedTuple):
+    """Device-resident CSR seed table (see index.builder.SeedIndex)."""
+
+    bucket_start: jax.Array   # (P+1,) int32
+    entry_key: jax.Array      # (n_entries,) int32
+    entry_ref: jax.Array      # (n_entries,) int32
+    entry_pos: jax.Array      # (n_entries,) int32
+    n_bits: int               # static
+
+    @staticmethod
+    def from_index(index) -> "SeedTable":
+        return SeedTable(
+            bucket_start=jnp.asarray(index.bucket_start),
+            entry_key=jnp.asarray(index.entry_key),
+            entry_ref=jnp.asarray(index.entry_ref),
+            entry_pos=jnp.asarray(index.entry_pos),
+            n_bits=index.n_bits,
+        )
+
+
+def hash_kmer_jax(keys, n_bits: int):
+    h = (keys.astype(jnp.uint32) * _HASH_MULT) >> jnp.uint32(32 - n_bits)
+    return h.astype(jnp.int32)
+
+
+def query_kmers_jax(reads, read_lens, cfg: PipelineConfig):
+    """(B, Lmax) int8 -> (keys (B, Q) int32, valid (B, Q) bool)."""
+    pos = jnp.arange(0, cfg.read_len_max - cfg.k + 1, cfg.seed_stride, dtype=jnp.int32)
+    keys = jnp.zeros((reads.shape[0], pos.shape[0]), jnp.int32)
+    valid = jnp.ones(keys.shape, bool)
+    for j in range(cfg.k):
+        c = jnp.take(reads, pos + j, axis=1).astype(jnp.int32)
+        valid &= c < 4
+        keys = (keys << 2) | (c & 0x3)
+    valid &= (pos[None, :] + cfg.k) <= read_lens[:, None]
+    return keys, valid
+
+
+def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig):
+    """Top-C candidate windows per read; bit-identical to oracle.seed.
+
+    Returns dict of (B, C) arrays: cand_ref, cand_wstart, cand_votes,
+    cand_valid.
+    """
+    pos = jnp.arange(0, cfg.read_len_max - cfg.k + 1, cfg.seed_stride, dtype=jnp.int32)
+    keys, valid = query_kmers_jax(reads, read_lens, cfg)   # (B, Q)
+    B, Q = keys.shape
+    cap = cfg.bucket_cap
+    n_entries = table.entry_key.shape[0]
+
+    bucket = hash_kmer_jax(keys, table.n_bits)             # (B, Q)
+    start = jnp.take(table.bucket_start, bucket)           # (B, Q)
+    count = jnp.take(table.bucket_start, bucket + 1) - start
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    eidx = start[..., None] + slot                         # (B, Q, cap)
+    in_bucket = slot[None, None, :] < count[..., None]
+    eidx = jnp.clip(eidx, 0, max(n_entries - 1, 0))
+    ekey = jnp.take(table.entry_key, eidx)
+    eref = jnp.take(table.entry_ref, eidx)
+    epos = jnp.take(table.entry_pos, eidx)
+
+    hit = in_bucket & (ekey == keys[..., None]) & valid[..., None]
+    diag = epos - pos[None, :, None]
+    dbin = (diag + cfg.read_len_max) // cfg.diag_bin
+    ckey = eref * cfg.n_diag_bins + dbin                   # (B, Q, cap) int32
+    BIGK = jnp.int32(2 ** 31 - 1)
+    ckey = jnp.where(hit, ckey, BIGK)                      # invalid sorts last
+
+    flat = ckey.reshape(B, Q * cap)
+    flat = jnp.sort(flat, axis=1)
+    # first-of-run positions own the run; others contribute votes only
+    is_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1
+    )
+    # votes per element = run length, computed via searchsorted on own row
+    vsearch = jax.vmap(
+        functools.partial(jnp.searchsorted, side="right"), in_axes=(0, 0)
+    )
+    lsearch = jax.vmap(
+        functools.partial(jnp.searchsorted, side="left"), in_axes=(0, 0)
+    )
+    votes = (vsearch(flat, flat) - lsearch(flat, flat)).astype(jnp.int32)
+    votes = jnp.where(is_first & (flat != BIGK), votes, 0)
+
+    # order by (votes desc, key asc): lexicographic two-key sort
+    neg_votes = -votes
+    sorted_nv, sorted_key = jax.lax.sort((neg_votes, flat), num_keys=2)
+    C = cfg.max_candidates
+    cand_votes = -sorted_nv[:, :C]
+    cand_key = sorted_key[:, :C]
+    cand_valid = cand_votes > 0
+
+    cand_ref = jnp.where(cand_valid, cand_key // cfg.n_diag_bins, 0).astype(jnp.int32)
+    cand_dbin = jnp.where(cand_valid, cand_key % cfg.n_diag_bins, 0).astype(jnp.int32)
+    cand_wstart = (
+        cand_dbin * cfg.diag_bin
+        - cfg.read_len_max
+        + cfg.diag_bin // 2
+        - cfg.window_margin
+    ).astype(jnp.int32)
+    return dict(
+        cand_ref=cand_ref,
+        cand_wstart=cand_wstart,
+        cand_votes=cand_votes,
+        cand_valid=cand_valid,
+    )
+
+
+def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int):
+    """(R, ref_len) int8 refs -> (B, C, W) int8 windows (out of range -> 4)."""
+    cols = cand_wstart[..., None] + jnp.arange(W, dtype=jnp.int32)
+    in_range = (cols >= 0) & (cols < ref_seqs.shape[1])
+    g = ref_seqs[cand_ref[..., None], jnp.clip(cols, 0, ref_seqs.shape[1] - 1)]
+    return jnp.where(in_range, g, jnp.int8(4))
+
+
+def revcomp_jax(reads, read_lens):
+    """Batched reverse-complement keeping right padding, matches io.pack."""
+    comp = jnp.array([3, 2, 1, 0, 4], jnp.int8)
+    B, L = reads.shape
+    c = comp[reads]
+    # reverse within each row's own length: out[i] = c[len-1-i] for i < len
+    idx = read_lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = idx >= 0
+    out = jnp.take_along_axis(c, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(ok, out, jnp.int8(4))

@@ -1,0 +1,8 @@
+"""Jitted pipeline stages (single-chip and shard_map distributed).
+
+Mirrors rambl_tpu.oracle stage for stage with bit-identical outputs; the
+oracle is the spec, this package is the TPU execution path
+(SURVEY.md section 3.4 target stack).
+"""
+
+from rambl_tpu.pipeline.align import align_batch, AlignRecords  # noqa: F401

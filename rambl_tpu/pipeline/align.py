@@ -1,0 +1,115 @@
+"""Jitted align step: seed -> candidates -> score -> best -> traceback.
+
+The device replacement for the whole `bwa mem` + BAM stage (SURVEY.md
+section 3.1/3.4): a batch of padded reads goes in, dense alignment-record
+tensors come out. No SAM/BAM, no subprocess, no host roundtrip.
+
+Two-pass structure exactly as the oracle (oracle.align.align_reads):
+score all 2C candidate pairs, select the best deterministically
+(max score, tie -> lowest pair index, fwd before rc), then rerun the DP with
+direction emission for the winning pair only and trace back.
+
+Everything in here is pure jnp on static shapes: safe under jit, shard_map
+and (batch-dim) sharding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.ops.seed import (
+    SeedTable,
+    gather_windows_jax,
+    revcomp_jax,
+    seed_candidates_jax,
+)
+from rambl_tpu.ops.sw import sw_align, sw_score, sw_traceback
+
+
+class AlignRecords(NamedTuple):
+    """Dense per-read alignment records (device-side, static shapes)."""
+
+    score: jax.Array       # (B,) int32
+    ref: jax.Array         # (B,) int32, -1 if unaligned
+    strand: jax.Array      # (B,) int8
+    ref_col: jax.Array     # (B, L) int32 global ref column per query pos, -1
+    query: jax.Array       # (B, L) int8 aligned-orientation codes
+    pair_score: jax.Array  # (B, 2C) int32
+    pair_ref: jax.Array    # (B, 2C) int32
+    pair_valid: jax.Array  # (B, 2C) bool
+
+    @property
+    def aligned(self) -> jax.Array:
+        return self.ref >= 0
+
+
+def align_batch(
+    reads: jax.Array,
+    read_lens: jax.Array,
+    table: SeedTable,
+    ref_seqs: jax.Array,
+    cfg: PipelineConfig,
+) -> AlignRecords:
+    B, L = reads.shape
+    W = cfg.window_len
+    C = cfg.max_candidates
+    sc = cfg.scoring
+
+    rc_reads = revcomp_jax(reads, read_lens)
+
+    cands_f = seed_candidates_jax(reads, read_lens, table, cfg)
+    cands_r = seed_candidates_jax(rc_reads, read_lens, table, cfg)
+
+    cref = jnp.concatenate([cands_f["cand_ref"], cands_r["cand_ref"]], axis=1)
+    cws = jnp.concatenate([cands_f["cand_wstart"], cands_r["cand_wstart"]], axis=1)
+    cval = jnp.concatenate([cands_f["cand_valid"], cands_r["cand_valid"]], axis=1)
+
+    wins = gather_windows_jax(ref_seqs, cref, cws, W)          # (B, 2C, W)
+    q_pairs = jnp.concatenate(
+        [
+            jnp.broadcast_to(reads[:, None, :], (B, C, L)),
+            jnp.broadcast_to(rc_reads[:, None, :], (B, C, L)),
+        ],
+        axis=1,
+    )                                                           # (B, 2C, L)
+
+    # pass 1: score all pairs
+    score, _, _ = sw_score(
+        q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
+    )
+    score = score.reshape(B, 2 * C)
+    score = jnp.where(cval, score, 0)
+
+    # best pair: max score, tie -> lowest pair index
+    key = score * (2 * C) + (2 * C - 1 - jnp.arange(2 * C, dtype=jnp.int32))
+    best_pair = jnp.argmax(key, axis=1).astype(jnp.int32)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    best_score = score[bidx, best_pair]
+
+    aligned = best_score >= cfg.min_score
+    strand = (best_pair >= C).astype(jnp.int8)
+    bref = cref[bidx, best_pair]
+    bws = cws[bidx, best_pair]
+
+    # pass 2: directions + traceback for the best pair only
+    qb = jnp.where(strand[:, None] == 1, rc_reads, reads)
+    wb = wins[bidx, best_pair]
+    _, ie, je, dirs = sw_align(qb, wb, sc)
+    rc_local = sw_traceback(dirs, ie, je, L, W)
+    gcol = jnp.where(rc_local >= 0, rc_local + bws[:, None], -1)
+    gcol = jnp.where((gcol >= 0) & (gcol < ref_seqs.shape[1]), gcol, -1)
+
+    return AlignRecords(
+        score=jnp.where(aligned, best_score, 0),
+        ref=jnp.where(aligned, bref, -1),
+        strand=jnp.where(aligned, strand, jnp.int8(0)),
+        ref_col=jnp.where(aligned[:, None], gcol, -1),
+        query=qb,
+        pair_score=score,
+        pair_ref=cref,
+        pair_valid=cval & (score >= cfg.min_score),
+    )
