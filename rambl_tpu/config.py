@@ -57,7 +57,11 @@ class PipelineConfig:
     bin_score_delta: int = 0         # hits within delta of best vote for LCA
 
     # ---- DP-means clustering ----
-    dp_lambda: float = 0.3           # distance threshold for spawning clusters
+    # DP-means spawn threshold lambda as an exact rational num/den so that all
+    # distance comparisons are integer (diff * den vs num * ncov) - float
+    # rounding must never differ between the NumPy oracle and the f32 TPU path
+    dp_lambda_num: int = 3
+    dp_lambda_den: int = 10
     dp_spawn_min_orphans: int = 3    # orphans consistent with a seed orphan
                                      # required to spawn a cluster from it
     dp_spawn_scan: int = 8           # orphan seeds examined per iteration
@@ -79,6 +83,10 @@ class PipelineConfig:
     full_len_min: int = 1200         # min length to report a gene "full-length"
 
     # ---- batching / parallelism ----
+    max_bin_reads: int = 4096        # member cap per leaf bin for clustering
+                                     # (pileups are never capped; features /
+                                     # cluster scatter use the first cap
+                                     # members by read index)
     batch_size: int = 1024           # reads per device batch (global)
     mesh_data_axis: str = "data"
     shard_index: bool = False        # False: replicate index; True: ring-sharded

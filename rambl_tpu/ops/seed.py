@@ -62,37 +62,57 @@ def query_kmers_jax(reads, read_lens, cfg: PipelineConfig):
     return keys, valid
 
 
-def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig):
-    """Top-C candidate windows per read; bit-identical to oracle.seed.
+BIGK = jnp.int32(2 ** 31 - 1)
 
-    Returns dict of (B, C) arrays: cand_ref, cand_wstart, cand_votes,
-    cand_valid.
+
+def probe(keys, valid, bucket, bucket_start, entry_key, entry_ref, entry_pos,
+           cfg: PipelineConfig, bucket_lo=0):
+    """Probe a (possibly bucket-range-sharded) seed table.
+
+    keys/valid: (B, Q) query k-mer keys + validity; bucket: (B, Q) global
+    bucket ids (hash of keys). bucket_start is the CSR slice covering buckets
+    [bucket_lo, bucket_lo + n_local] with ABSOLUTE offsets (entry arrays are
+    the matching slice, so local entry index = offset - bucket_start[0]).
+    Buckets outside the local range yield no hits, enabling ring-sharded
+    lookups (parallel.ring).
+
+    Returns ckey (B, Q, cap) int32 candidate vote keys; BIGK = miss.
     """
     pos = jnp.arange(0, cfg.read_len_max - cfg.k + 1, cfg.seed_stride, dtype=jnp.int32)
-    keys, valid = query_kmers_jax(reads, read_lens, cfg)   # (B, Q)
-    B, Q = keys.shape
     cap = cfg.bucket_cap
-    n_entries = table.entry_key.shape[0]
+    n_entries = entry_key.shape[0]
+    n_local = bucket_start.shape[0] - 1
 
-    bucket = hash_kmer_jax(keys, table.n_bits)             # (B, Q)
-    start = jnp.take(table.bucket_start, bucket)           # (B, Q)
-    count = jnp.take(table.bucket_start, bucket + 1) - start
+    local_b = bucket - bucket_lo                           # (B, Q)
+    in_range = (local_b >= 0) & (local_b < n_local)
+    lb = jnp.clip(local_b, 0, n_local - 1)
+    base = bucket_start[0]
+    start = jnp.take(bucket_start, lb) - base              # (B, Q)
+    count = jnp.take(bucket_start, lb + 1) - base - start
     slot = jnp.arange(cap, dtype=jnp.int32)
     eidx = start[..., None] + slot                         # (B, Q, cap)
     in_bucket = slot[None, None, :] < count[..., None]
     eidx = jnp.clip(eidx, 0, max(n_entries - 1, 0))
-    ekey = jnp.take(table.entry_key, eidx)
-    eref = jnp.take(table.entry_ref, eidx)
-    epos = jnp.take(table.entry_pos, eidx)
+    ekey = jnp.take(entry_key, eidx)
+    eref = jnp.take(entry_ref, eidx)
+    epos = jnp.take(entry_pos, eidx)
 
-    hit = in_bucket & (ekey == keys[..., None]) & valid[..., None]
+    hit = (
+        in_range[..., None]
+        & in_bucket
+        & (ekey == keys[..., None])
+        & valid[..., None]
+    )
     diag = epos - pos[None, :, None]
     dbin = (diag + cfg.read_len_max) // cfg.diag_bin
     ckey = eref * cfg.n_diag_bins + dbin                   # (B, Q, cap) int32
-    BIGK = jnp.int32(2 ** 31 - 1)
-    ckey = jnp.where(hit, ckey, BIGK)                      # invalid sorts last
+    return jnp.where(hit, ckey, BIGK)
 
-    flat = ckey.reshape(B, Q * cap)
+
+def select_candidates(ckey, cfg: PipelineConfig):
+    """Vote counting + deterministic top-C from probe keys (B, Q, cap)."""
+    B = ckey.shape[0]
+    flat = ckey.reshape(B, -1)
     flat = jnp.sort(flat, axis=1)
     # first-of-run positions own the run; others contribute votes only
     is_first = jnp.concatenate(
@@ -130,6 +150,21 @@ def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig)
         cand_votes=cand_votes,
         cand_valid=cand_valid,
     )
+
+
+def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig):
+    """Top-C candidate windows per read; bit-identical to oracle.seed.
+
+    Returns dict of (B, C) arrays: cand_ref, cand_wstart, cand_votes,
+    cand_valid.
+    """
+    keys, valid = query_kmers_jax(reads, read_lens, cfg)   # (B, Q)
+    bucket = hash_kmer_jax(keys, table.n_bits)
+    ckey = probe(
+        keys, valid, bucket, table.bucket_start, table.entry_key,
+        table.entry_ref, table.entry_pos, cfg,
+    )
+    return select_candidates(ckey, cfg)
 
 
 def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int):

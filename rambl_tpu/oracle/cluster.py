@@ -7,14 +7,21 @@ the *same* algorithm the jitted path runs, so assignments agree bit-for-bit
 
 features : per read, its base at each of <= max_poly_cols polymorphic pileup
            columns of the bin (-1 where the read does not cover the column);
-distance : fraction of covered feature columns whose base differs from the
-           cluster's consensus base (reads covering 0 columns have distance 0);
-loop     : assign to nearest center (ties -> lowest cluster id); if any read's
-           distance > lambda and the cluster budget allows, spawn ONE cluster
-           per iteration seeded from the lowest-index orphan read; recompute
-           centers as per-cluster per-column argmax base (ties -> lowest base,
-           empty columns inherit the bin consensus); iterate to fixpoint or
-           dp_max_iters.
+distance : mismatch count over covered feature columns, normalized by the
+           coverage count - ALL comparisons are done in integer arithmetic
+           (diff * lambda_den vs lambda_num * ncov) so no float rounding can
+           ever differ between NumPy and the f32 device path. The cluster
+           argmin needs no normalization at all: a read's coverage is the
+           same against every center, so argmin(diff) == argmin(distance);
+loop     : assign to nearest center (ties -> lowest cluster id); spawn at most
+           ONE cluster per iteration, seeded from the first orphan (ascending
+           read index, scanning at most dp_spawn_scan seeds) that has
+           >= dp_spawn_min_orphans mutually consistent orphans - isolated
+           single-error reads must not found clusters; recompute centers as
+           per-cluster per-column argmax base (ties -> lowest base, empty
+           columns inherit the bin consensus); iterate to fixpoint or
+           dp_max_iters; finally merge clusters whose centers converged to
+           identical vectors (ids compacted in first-seen order).
 """
 
 from __future__ import annotations
@@ -92,17 +99,19 @@ def _consensus_of(feat: np.ndarray, member: np.ndarray, fallback: np.ndarray) ->
     return center
 
 
-def _distances(feat: np.ndarray, centers: np.ndarray) -> np.ndarray:
-    """(N, K) masked-mismatch fraction distances."""
-    cov = feat[:, None, :] >= 0                              # (N, 1, P) -> bcast
-    diff = (feat[:, None, :] != centers[None, :, :]) & cov   # (N, K, P)
-    ncov = np.maximum(cov.sum(axis=2), 1)
-    return diff.sum(axis=2) / ncov
+def _diffs(feat: np.ndarray, centers: np.ndarray):
+    """Integer distance pieces: (diff (N, K), ncov (N,))."""
+    cov = feat >= 0                                          # (N, P)
+    diff = ((feat[:, None, :] != centers[None, :, :]) & cov[:, None, :]).sum(
+        axis=2
+    )                                                        # (N, K)
+    return diff.astype(np.int64), cov.sum(axis=1).astype(np.int64)
 
 
 def dp_means(feat: np.ndarray, cfg: PipelineConfig):
     """Deterministic DP-means. Returns (assign (N,), centers (K, P), K)."""
     N, P = feat.shape
+    lam_n, lam_d = cfg.dp_lambda_num, cfg.dp_lambda_den
     fallback = np.zeros((P,), dtype=np.int8)
     # bin consensus as cluster-0 init
     all_members = np.ones((N,), bool)
@@ -115,27 +124,20 @@ def dp_means(feat: np.ndarray, cfg: PipelineConfig):
     for _ in range(cfg.dp_max_iters):
         K = len(centers)
         cen = np.asarray(centers, np.int8)
-        d = _distances(feat, cen)                   # (N, K)
-        new_assign = np.argmin(d, axis=1).astype(np.int32)  # ties -> lowest id
-        dmin = d[np.arange(N), new_assign]
-        orphans = dmin > cfg.dp_lambda
+        diff, ncov = _diffs(feat, cen)                    # int
+        new_assign = np.argmin(diff, axis=1).astype(np.int32)  # ties -> lowest
+        dmin = diff[np.arange(N), new_assign]
+        orphans = dmin * lam_d > lam_n * ncov             # dist > lambda
         spawned = False
         if int(orphans.sum()) >= cfg.dp_spawn_min_orphans and K < cfg.max_clusters_per_bin:
-            # spawn only from a seed orphan that other orphans agree with:
-            # isolated single-error reads must not found clusters. Scan the
-            # first dp_spawn_scan orphans (ascending read index) and take the
-            # first with >= dp_spawn_min_orphans consistent orphans (itself
-            # included; consistency = masked distance <= lambda over >=1
-            # commonly covered feature column).
             oidx = np.nonzero(orphans)[0]
-            ofeat = feat[oidx]                                # (O, P)
+            ofeat = feat[oidx]                            # (O, P)
             for cand in oidx[: cfg.dp_spawn_scan]:
                 fv = feat[cand]
                 common = (ofeat >= 0) & (fv >= 0)[None, :]
-                ncom = common.sum(axis=1)
-                diff = ((ofeat != fv[None, :]) & common).sum(axis=1)
-                dist = np.where(ncom > 0, diff / np.maximum(ncom, 1), np.inf)
-                support = int(((ncom > 0) & (dist <= cfg.dp_lambda)).sum())
+                ncom = common.sum(axis=1).astype(np.int64)
+                dcand = ((ofeat != fv[None, :]) & common).sum(axis=1).astype(np.int64)
+                support = int(((ncom > 0) & (dcand * lam_d <= lam_n * ncom)).sum())
                 if support >= cfg.dp_spawn_min_orphans:
                     c = np.where(fv >= 0, fv, fallback).astype(np.int8)
                     centers.append(c)

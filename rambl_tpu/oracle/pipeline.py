@@ -133,14 +133,19 @@ def assemble_round(
         if n_mem < cfg.min_cluster_reads:
             continue
         stats["bins_used"] += 1
-        q = res.query[members]
-        rc = res.ref_col[members]
-        counts_bin = bin_pileup(q, rc, ref_seqs.shape[1])
+        # pileups use ALL members; clustering uses the first max_bin_reads
+        # members by read index (the device path's static member-table cap)
+        q_full = res.query[members]
+        rc_full = res.ref_col[members]
+        midx = np.nonzero(members)[0][: cfg.max_bin_reads]
+        q = res.query[midx]
+        rc = res.ref_col[midx]
+        counts_bin = bin_pileup(q_full, rc_full, ref_seqs.shape[1])
         poly = polymorphic_cols(counts_bin, cfg)
         feat = read_features(q, rc, poly)
         assign, centers, K = dp_means(feat, cfg)
 
-        counts_all, span_all = cluster_pileup(q, rc, ref_seqs.shape[1])
+        counts_all, span_all = cluster_pileup(q_full, rc_full, ref_seqs.shape[1])
         poly_mask = np.zeros((ref_seqs.shape[1],), bool)
         poly_mask[poly] = True
         for k in range(K):

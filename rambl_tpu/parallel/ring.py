@@ -1,0 +1,129 @@
+"""Ring-sharded seed index: the sequence-parallel / ring-attention analogue
+(SURVEY.md section 2.3 "SP/CP" row).
+
+When the Greengenes seed table does not fit per-device, its hash buckets are
+range-sharded over the 'data' axis. Reads stay on their home device; the index
+SHARDS rotate around the ring (lax.ppermute), one hop per step, so after
+n_shards steps every device has probed every bucket range - communication
+overlaps with probe compute, and each k-mer's bucket lives in exactly one
+shard so the per-seed hit slots fill exactly once. The result is bit-identical
+to the replicated lookup (tested in tests/test_distributed.py).
+
+Host-side prep: build_ring_shards slices the CSR table by bucket range and
+pads entry arrays to a common length.
+
+A Pallas `make_async_remote_copy` double-buffered variant of the rotation is
+the planned upgrade for overlapping DMA with probe compute at full ICI
+bandwidth (SURVEY.md section 5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.index.builder import SeedIndex
+from rambl_tpu.ops.seed import (
+    BIGK,
+    hash_kmer_jax,
+    probe,
+    query_kmers_jax,
+    revcomp_jax,
+    select_candidates,
+)
+from rambl_tpu.parallel.mesh import DATA_AXIS
+
+
+def build_ring_shards(index: SeedIndex, n_shards: int):
+    """Slice the CSR table into n_shards bucket ranges (host side).
+
+    Returns dict of stacked arrays with leading dim n_shards:
+      bucket_start (n_shards, P/n + 1) ABSOLUTE offsets,
+      entry_key/entry_ref/entry_pos (n_shards, Emax) padded with key -1.
+    Feed shard s to device s (shard_map in_specs P('data') splits dim 0).
+    """
+    P = index.n_buckets
+    assert P % n_shards == 0, "bucket count must divide by shard count"
+    Pn = P // n_shards
+    slices = []
+    emax = 0
+    for s in range(n_shards):
+        lo_b, hi_b = s * Pn, (s + 1) * Pn
+        lo_e = int(index.bucket_start[lo_b])
+        hi_e = int(index.bucket_start[hi_b])
+        emax = max(emax, hi_e - lo_e)
+        slices.append((lo_b, hi_b, lo_e, hi_e))
+    bs = np.zeros((n_shards, Pn + 1), np.int32)
+    ek = np.full((n_shards, emax), -1, np.int32)
+    er = np.zeros((n_shards, emax), np.int32)
+    ep = np.zeros((n_shards, emax), np.int32)
+    for s, (lo_b, hi_b, lo_e, hi_e) in enumerate(slices):
+        bs[s] = index.bucket_start[lo_b : hi_b + 1]
+        n = hi_e - lo_e
+        ek[s, :n] = index.entry_key[lo_e:hi_e]
+        er[s, :n] = index.entry_ref[lo_e:hi_e]
+        ep[s, :n] = index.entry_pos[lo_e:hi_e]
+    return dict(bucket_start=bs, entry_key=ek, entry_ref=er, entry_pos=ep)
+
+
+def _ring_probe(keys, valid, bucket_start, entry_key, entry_ref, entry_pos,
+                cfg: PipelineConfig, n_bits: int):
+    """Probe all shards by rotating them around the ring.
+
+    Call INSIDE shard_map: each device holds one bucket-range shard (the
+    per-device slice of the build_ring_shards arrays, leading dim stripped).
+    """
+    n = jax.lax.axis_size(DATA_AXIS)
+    me = jax.lax.axis_index(DATA_AXIS)
+    Pn = bucket_start.shape[0] - 1
+    bucket = hash_kmer_jax(keys, n_bits)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(step, state):
+        bs, ek, er, ep, ckey = state
+        shard_id = jax.lax.rem(me - step + n, n)
+        ck = probe(keys, valid, bucket, bs, ek, er, ep, cfg,
+                   bucket_lo=shard_id * Pn)
+        ckey = jnp.where(ck != BIGK, ck, ckey)
+        bs, ek, er, ep = jax.lax.ppermute(
+            (bs, ek, er, ep), DATA_AXIS, perm
+        )
+        return (bs, ek, er, ep, ckey)
+
+    cap = cfg.bucket_cap
+    ckey0 = jnp.full(keys.shape + (cap,), BIGK, jnp.int32)
+    state = jax.lax.fori_loop(
+        0, n, body, (bucket_start, entry_key, entry_ref, entry_pos, ckey0)
+    )
+    return state[4]
+
+
+def ring_align_batch(reads, read_lens, bucket_start, entry_key, entry_ref,
+                     entry_pos, ref_seqs, cfg: PipelineConfig, n_bits: int):
+    """align_batch with ring-sharded seeding. Call inside shard_map.
+
+    Bit-identical to pipeline.align.align_batch with the replicated table.
+    """
+    from rambl_tpu.pipeline.align import align_from_candidates
+
+    # shard arrays arrive stacked (n_shards, ...) and sharded over dim 0 ->
+    # locally (1, ...); strip the leading dim
+    if bucket_start.ndim == 2:
+        bucket_start = bucket_start[0]
+        entry_key = entry_key[0]
+        entry_ref = entry_ref[0]
+        entry_pos = entry_pos[0]
+
+    rc_reads = revcomp_jax(reads, read_lens)
+
+    def cands_for(q):
+        keys, valid = query_kmers_jax(q, read_lens, cfg)
+        ckey = _ring_probe(keys, valid, bucket_start, entry_key, entry_ref,
+                           entry_pos, cfg, n_bits)
+        return select_candidates(ckey, cfg)
+
+    return align_from_candidates(
+        reads, rc_reads, cands_for(reads), cands_for(rc_reads), ref_seqs, cfg
+    )

@@ -1,0 +1,81 @@
+"""shard_map pipeline steps: data-parallel align+bin+pileup with psum merge.
+
+The hot path of SURVEY.md section 3.4: reads shard over the 'data' axis, the
+seed table + reference panel are replicated (cfg.shard_index=False) or ring-
+sharded (parallel.ring), and the node-space pileup/count accumulators are
+psum-merged across the mesh so every device (and the host) sees the global
+tensors - bit-identical to the single-device path because counts are integers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.ops.seed import SeedTable
+from rambl_tpu.parallel.mesh import DATA_AXIS
+from rambl_tpu.pipeline.align import align_batch
+from rambl_tpu.pipeline.binning import bin_batch
+from rambl_tpu.pipeline.pileup import node_pileup
+
+
+def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
+                           n_nodes: int, ref_len: int, ring: bool = False):
+    """Build the jitted shard_map step.
+
+    step(reads, lens, bucket_start, entry_key, entry_ref, entry_pos,
+         ref_seqs, ref_taxon, anc_path, depth)
+      -> (query, ref_col, bins, score  [sharded over 'data'],
+          counts, span_diff, read_count [replicated, psum-merged])
+
+    With ring=True the seed-table arrays are expected bucket-range sharded
+    over 'data' (see parallel.ring.build_ring_shards) and lookups rotate the
+    shards around the mesh.
+    """
+
+    def step(reads, lens, bucket_start, entry_key, entry_ref, entry_pos,
+             ref_seqs, ref_taxon, anc_path, depth):
+        if ring:
+            from rambl_tpu.parallel.ring import ring_align_batch
+
+            res = ring_align_batch(
+                reads, lens, bucket_start, entry_key, entry_ref, entry_pos,
+                ref_seqs, cfg, n_bits,
+            )
+        else:
+            table = SeedTable(bucket_start, entry_key, entry_ref, entry_pos,
+                              n_bits)
+            res = align_batch(reads, lens, table, ref_seqs, cfg)
+        bins = bin_batch(res, ref_taxon, anc_path, depth, cfg)
+        counts, span_diff = node_pileup(
+            res.query, res.ref_col, bins, n_nodes, ref_len
+        )
+        read_count = jnp.zeros((n_nodes + 1,), jnp.int32).at[
+            jnp.where(bins >= 0, bins, n_nodes)
+        ].add(1)[:-1]
+        # cross-device/-host merge (BASELINE.json:5)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        span_diff = jax.lax.psum(span_diff, DATA_AXIS)
+        read_count = jax.lax.psum(read_count, DATA_AXIS)
+        return res.query, res.ref_col, bins, res.score, counts, span_diff, read_count
+
+    data = P(DATA_AXIS)
+    data2 = P(DATA_AXIS, None)
+    repl = P()
+    table_spec = data if ring else repl
+    in_specs = (
+        data2, data,                      # reads, lens
+        table_spec, table_spec, table_spec, table_spec,  # seed table arrays
+        repl, repl, repl, repl,           # ref_seqs, ref_taxon, anc, depth
+    )
+    out_specs = (data2, data2, data, data, repl, repl, repl)
+    return jax.jit(
+        jax.shard_map(
+            step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )

@@ -54,15 +54,28 @@ def align_batch(
     ref_seqs: jax.Array,
     cfg: PipelineConfig,
 ) -> AlignRecords:
+    rc_reads = revcomp_jax(reads, read_lens)
+    cands_f = seed_candidates_jax(reads, read_lens, table, cfg)
+    cands_r = seed_candidates_jax(rc_reads, read_lens, table, cfg)
+    return align_from_candidates(
+        reads, rc_reads, cands_f, cands_r, ref_seqs, cfg
+    )
+
+
+def align_from_candidates(
+    reads: jax.Array,
+    rc_reads: jax.Array,
+    cands_f: dict,
+    cands_r: dict,
+    ref_seqs: jax.Array,
+    cfg: PipelineConfig,
+) -> AlignRecords:
+    """Score/select/trace given fwd+rc candidates (shared by the replicated
+    and ring-sharded seeding paths)."""
     B, L = reads.shape
     W = cfg.window_len
     C = cfg.max_candidates
     sc = cfg.scoring
-
-    rc_reads = revcomp_jax(reads, read_lens)
-
-    cands_f = seed_candidates_jax(reads, read_lens, table, cfg)
-    cands_r = seed_candidates_jax(rc_reads, read_lens, table, cfg)
 
     cref = jnp.concatenate([cands_f["cand_ref"], cands_r["cand_ref"]], axis=1)
     cws = jnp.concatenate([cands_f["cand_wstart"], cands_r["cand_wstart"]], axis=1)

@@ -1,0 +1,328 @@
+"""End-to-end device assembly driver (single host; shard_map wiring in
+rambl_tpu.parallel).
+
+Mirrors oracle.pipeline.assemble bit-for-bit: round 0 discovers variants
+(align -> LCA bin -> DP-means -> variant-aware consensus), later rounds refine
+(realign to the panel -> exclusive/backbone consensus -> prune). Panel
+management (gene lists, dedupe, pruning, convergence) is host logic on tiny
+data; everything per-read or per-column runs jitted on device.
+
+Reads stream through the jitted align+bin step in fixed-size batches (static
+shapes; the last batch is padded with empty reads that bin to -1), node-space
+pileup tensors accumulate on device - the multi-host version psums exactly
+these accumulators (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.index.builder import build_seed_index
+from rambl_tpu.index.taxonomy import TaxonomyTables, build_taxonomy_tables
+from rambl_tpu.oracle.pipeline import Gene  # shared host-side gene record
+from rambl_tpu.ops.seed import SeedTable
+from rambl_tpu.pipeline.align import align_batch
+from rambl_tpu.pipeline.binning import bin_batch
+from rambl_tpu.pipeline.cluster import (
+    dp_means_leaves,
+    leaf_features,
+    member_table,
+    sorted_col_base,
+)
+from rambl_tpu.pipeline.consensus import (
+    cluster_consensus_leaves,
+    refine_consensus,
+)
+from rambl_tpu.pipeline.pileup import (
+    leaf_pileup,
+    node_pileup,
+    polymorphic_mask,
+)
+
+_BIG = 1 << 30
+
+
+# --------------------------------------------------------------------------
+# jitted cores
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_bits"))
+def _align_bin_batch(reads, lens, bucket_start, entry_key, entry_ref,
+                     entry_pos, ref_seqs, ref_taxon, anc_path, depth,
+                     cfg: PipelineConfig, n_bits: int):
+    table = SeedTable(bucket_start, entry_key, entry_ref, entry_pos, n_bits)
+    res = align_batch(reads, lens, table, ref_seqs, cfg)
+    bins = bin_batch(res, ref_taxon, anc_path, depth, cfg)
+    return res.query, res.ref_col, bins, res.score, res.ref, res.strand
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_nodes", "ref_len"))
+def _pileup_accum(query, ref_col, bins, counts, span_diff, read_count,
+                  cfg: PipelineConfig, n_nodes: int, ref_len: int):
+    c, s = node_pileup(query, ref_col, bins, n_nodes, ref_len)
+    rc = jnp.zeros((n_nodes + 1,), jnp.int32).at[
+        jnp.where(bins >= 0, bins, n_nodes)
+    ].add(1)[:-1]
+    return counts + c, span_diff + s, read_count + rc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _cluster_consensus_round0(query, ref_col, bins, counts, span_diff,
+                              read_count, leaves, anc_path, depth,
+                              cfg: PipelineConfig):
+    leaf_counts, leaf_span = leaf_pileup(counts, span_diff, leaves, anc_path, depth)
+    pm = polymorphic_mask(
+        leaf_counts, cfg.min_coverage, cfg.poly_min_minor_count,
+        cfg.poly_min_minor_frac, cfg.max_poly_cols,
+    )
+    ref_len = counts.shape[1]
+    cols = jnp.arange(ref_len, dtype=jnp.int32)
+    key = jnp.where(pm, cols[None, :], _BIG)
+    pol_cols = -jax.lax.top_k(-key, cfg.max_poly_cols)[0]     # ascending
+    pol_valid = pol_cols < _BIG
+    pol_cols = jnp.where(pol_valid, pol_cols, 0)
+
+    midx, mvalid = member_table(bins, leaves, anc_path, depth, cfg.max_bin_reads)
+    cs, bs = sorted_col_base(query, ref_col)
+    feat = leaf_features(cs, bs, midx, mvalid, pol_cols, pol_valid)
+    dp = dp_means_leaves(feat, cfg)
+
+    qm = query[midx]
+    rcm = ref_col[midx]
+    cons = cluster_consensus_leaves(
+        qm, rcm, mvalid, dp.assign, pm, leaf_counts, leaf_span, cfg
+    )
+    from rambl_tpu.pipeline.consensus import _chain_read_count
+
+    n_mem = _chain_read_count(read_count, leaves, anc_path, depth)
+    return cons, dp.kact, n_mem
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _refine_core(counts, span_diff, read_count, gene_leaves, gene_group,
+                 group_taxon, anc_path, depth, cfg: PipelineConfig):
+    return refine_consensus(
+        counts, span_diff, read_count, gene_leaves, gene_group, group_taxon,
+        anc_path, depth, cfg,
+    )
+
+
+# --------------------------------------------------------------------------
+# host driver
+# --------------------------------------------------------------------------
+
+def _pad_batches(reads, lens, batch):
+    B = reads.shape[0]
+    nb = -(-B // batch)
+    pad = nb * batch - B
+    if pad:
+        reads = np.concatenate([reads, np.full((pad, reads.shape[1]), 4, np.int8)])
+        lens = np.concatenate([lens, np.zeros((pad,), np.int32)])
+    return reads, lens, nb, B
+
+
+def _stream_align(reads, lens, index, ref_seqs, tables, cfg):
+    """Batch-stream the jitted align+bin step; accumulate node pileups.
+
+    Returns host arrays (query, ref_col, bins, score, ref, strand) for the
+    real reads plus device pileup accumulators.
+    """
+    table = SeedTable.from_index(index)
+    ref_seqs_d = jnp.asarray(ref_seqs)
+    anc = jnp.asarray(tables.anc_path)
+    dep = jnp.asarray(tables.depth)
+    rt = jnp.asarray(tables.ref_taxon)
+    n_nodes = tables.n_nodes
+    ref_len = ref_seqs.shape[1]
+
+    padded, plens, nb, B = _pad_batches(reads, lens, cfg.batch_size)
+    counts = jnp.zeros((n_nodes, ref_len, 4), jnp.int32)
+    span_diff = jnp.zeros((n_nodes, ref_len + 1), jnp.int32)
+    read_count = jnp.zeros((n_nodes,), jnp.int32)
+
+    outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
+    for i in range(nb):
+        sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+        q, rc, b, sc, rf, st = _align_bin_batch(
+            padded[sl], plens[sl], table.bucket_start, table.entry_key,
+            table.entry_ref, table.entry_pos, ref_seqs_d, rt, anc, dep,
+            cfg, index.n_bits,
+        )
+        counts, span_diff, read_count = _pileup_accum(
+            q, rc, b, counts, span_diff, read_count, cfg, n_nodes, ref_len
+        )
+        for k, v in zip(("query", "ref_col", "bins", "score", "ref", "strand"),
+                        (q, rc, b, sc, rf, st)):
+            outs[k].append(np.asarray(v))
+    merged = {k: np.concatenate(v)[:B] for k, v in outs.items()}
+    return merged, counts, span_diff, read_count
+
+
+def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
+                          round_idx, orig_taxon_of_node=None):
+    """Host compaction of consensus tensors into Gene records (oracle order)."""
+    genes: List[Gene] = []
+    called = np.asarray(called)
+    emit = np.asarray(emit)
+    nk = np.asarray(nk)
+    kact = np.asarray(kact)
+    n_mem = np.asarray(n_mem)
+    for li, leaf in enumerate(np.asarray(leaves).tolist()):
+        if n_mem[li] < cfg.min_cluster_reads:
+            continue
+        for k in range(int(kact[li])):
+            if nk[li, k] < cfg.min_cluster_reads:
+                continue
+            seq = called[li, k][emit[li, k]].astype(np.int8)
+            if seq.shape[0] == 0:
+                continue
+            taxon = (int(leaf) if orig_taxon_of_node is None
+                     else int(orig_taxon_of_node[leaf]))
+            genes.append(Gene(seq=seq, n_reads=int(nk[li, k]), leaf=int(leaf),
+                              cluster=k, round_born=round_idx, taxon=taxon))
+    return genes
+
+
+def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
+    bykey = {}
+    for g in genes:
+        kk = g.key()
+        if kk not in bykey or g.n_reads > bykey[kk].n_reads:
+            if kk in bykey:
+                g = dataclasses.replace(g, n_reads=max(g.n_reads, bykey[kk].n_reads))
+            bykey[kk] = g
+    out = list(bykey.values())
+    out.sort(key=lambda g: (-g.n_reads, g.leaf, g.cluster))
+    return out[: cfg.max_genes]
+
+
+def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
+                       round_idx=0, orig_taxon_of_node=None):
+    """Device version of oracle.pipeline.assemble_round."""
+    index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
+    rec, counts, span_diff, read_count = _stream_align(
+        reads, lens, index, ref_seqs, tables, cfg
+    )
+    leaves = np.unique(tables.ref_taxon)
+    cons, kact, n_mem = _cluster_consensus_round0(
+        jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+        jnp.asarray(rec["bins"]), counts, span_diff, read_count,
+        jnp.asarray(leaves), jnp.asarray(tables.anc_path),
+        jnp.asarray(tables.depth), cfg,
+    )
+    genes = _genes_from_consensus(
+        cons.called, cons.emit, cons.n_reads, kact, leaves, n_mem, cfg,
+        round_idx, orig_taxon_of_node,
+    )
+    stats = dict(
+        round=round_idx,
+        aligned=int((rec["bins"] >= 0).sum()),
+        n_leaves=int(leaves.size),
+        genes=0,
+    )
+    genes = _dedupe_cap(genes, cfg)
+    stats["genes"] = len(genes)
+    return genes, stats
+
+
+def refine_round_jax(reads, lens, genes: List[Gene], orig_parent, orig_depth,
+                     cfg, ref_len_max: int, round_idx: int):
+    """Device version of oracle.pipeline.refine_round."""
+    from rambl_tpu.oracle.pipeline import pad_panel, panel_taxonomy
+
+    pseqs, plens = pad_panel(genes, ref_len_max)
+    ptab, orig_of = panel_taxonomy(genes, orig_parent, orig_depth)
+    index = build_seed_index(pseqs, plens, k=cfg.k)
+    rec, counts, span_diff, read_count = _stream_align(
+        reads, lens, index, pseqs, ptab, cfg
+    )
+
+    taxa = sorted({g.taxon for g in genes})
+    tax_of = {t: i for i, t in enumerate(taxa)}
+    gene_group = np.array([tax_of[g.taxon] for g in genes], np.int32)
+    group_taxon = np.array(taxa, np.int32)
+    gene_leaves = np.asarray(ptab.ref_taxon)
+
+    cons, n_mem, n_excl = _refine_core(
+        counts, span_diff, read_count, jnp.asarray(gene_leaves),
+        jnp.asarray(gene_group), jnp.asarray(group_taxon),
+        jnp.asarray(ptab.anc_path), jnp.asarray(ptab.depth), cfg,
+    )
+
+    called = np.asarray(cons.called)
+    emit = np.asarray(cons.emit)
+    n_mem = np.asarray(n_mem)
+    n_excl = np.asarray(n_excl)
+    refined: List[Gene] = []
+    for gi in range(len(genes)):
+        if n_mem[gi] < cfg.min_cluster_reads:
+            continue
+        seq = called[gi][emit[gi]].astype(np.int8)
+        if seq.shape[0] == 0:
+            continue
+        refined.append(Gene(seq=seq, n_reads=int(n_mem[gi]),
+                            leaf=int(gene_leaves[gi]), cluster=int(n_excl[gi]),
+                            round_born=round_idx, taxon=genes[gi].taxon))
+
+    # prune within provenance groups (identical to oracle.refine_round)
+    bytax = {}
+    for g in refined:
+        bytax.setdefault(g.taxon, []).append(g)
+    kept: List[Gene] = []
+    for tax in sorted(bytax):
+        grp = sorted(bytax[tax], key=lambda g: (-g.cluster, -g.n_reads, g.leaf))
+        kept.append(grp[0])
+        kept.extend(g for g in grp[1:] if g.cluster >= cfg.refine_min_excl)
+    bykey = {}
+    for g in kept:
+        kk = g.key()
+        if kk not in bykey or g.n_reads > bykey[kk].n_reads:
+            bykey[kk] = g
+    out = list(bykey.values())
+    out.sort(key=lambda g: (-g.n_reads, g.taxon, g.leaf))
+    out = out[: cfg.max_genes]
+    stats = dict(round=round_idx, aligned=int((rec["bins"] >= 0).sum()),
+                 n_leaves=len(genes), genes=len(out))
+    return out, stats
+
+
+def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
+                 cfg: PipelineConfig):
+    """Device version of oracle.pipeline.assemble (same convergence loop)."""
+    from rambl_tpu.oracle.pipeline import AssemblyResult
+
+    orig_depth = tables.depth
+    orig_parent = np.array(
+        [int(tables.anc_path[n, max(int(orig_depth[n]) - 1, 0)])
+         for n in range(tables.n_nodes)],
+        dtype=np.int32,
+    )
+    round_stats = []
+    genes, stats = assemble_round_jax(
+        reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0
+    )
+    round_stats.append(stats)
+    prev_key = tuple(sorted(g.key() for g in genes))
+    converged = False
+    for it in range(1, cfg.max_assembly_iters):
+        if not genes:
+            break
+        genes, stats = refine_round_jax(
+            reads, lens, genes, orig_parent, orig_depth, cfg,
+            ref_len_max=ref_seqs.shape[1], round_idx=it,
+        )
+        round_stats.append(stats)
+        new_key = tuple(sorted(g.key() for g in genes))
+        if new_key == prev_key:
+            converged = True
+            break
+        prev_key = new_key
+    return AssemblyResult(genes=genes, n_rounds=len(round_stats),
+                          converged=converged, round_stats=round_stats)

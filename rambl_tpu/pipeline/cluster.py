@@ -1,0 +1,228 @@
+"""Jitted batched DP-means clustering over leaf bins.
+
+Bit-identical to oracle.cluster.dp_means (integer distance arithmetic, same
+spawn/merge rules - see that module's docstring) but fully vectorized:
+
+- membership tables are built from bin nodes + ancestor paths (static cap
+  cfg.max_bin_reads members per leaf, ascending read index);
+- per-read (column -> base) lookups use a per-read lax.sort once, then binary
+  search per polymorphic column;
+- per-leaf clustering runs under lax.map with a fori_loop whose state freezes
+  at convergence (fixed dp_max_iters trip count, masked updates - the
+  jit-safe equivalent of the oracle's early break);
+- center recomputation is a one-hot einsum (assign x base one-hots) - an MXU
+  matmul, exact for integer counts in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.index.taxonomy import MAX_DEPTH
+
+_BIG = jnp.int32(1 << 30)
+
+
+def member_table(
+    bins: jax.Array,      # (B,) int32 bin node per read
+    leaves: jax.Array,    # (NL,) int32
+    anc_path: jax.Array,  # (n_nodes, D) int32
+    depth: jax.Array,     # (n_nodes,) int32
+    max_members: int,
+):
+    """(NL, M) member read indices (ascending) + (NL, M) valid mask.
+
+    A read is a member of a leaf iff its bin is on the leaf's ancestor chain
+    (leaf itself included) - oracle.binning.leaf_membership.
+    """
+    B = bins.shape[0]
+    paths = anc_path[leaves]                              # (NL, D)
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    use = dd[None, :] <= depth[leaves][:, None]           # (NL, D)
+    # member mask (NL, B): bins[b] equals any used ancestor
+    m = (bins[None, :, None] == paths[:, None, :]) & use[:, None, :]
+    member = m.any(axis=2)                                # (NL, B)
+    # first M members by read index
+    key = jnp.where(member, jnp.arange(B, dtype=jnp.int32)[None, :], _BIG)
+    sortedk = jnp.sort(key, axis=1)[:, :max_members]      # (NL, M)
+    valid = sortedk < _BIG
+    idx = jnp.where(valid, sortedk, 0)
+    return idx, valid
+
+
+def sorted_col_base(query: jax.Array, ref_col: jax.Array):
+    """Per-read (cols_sorted, base_sorted) for binary-search lookups.
+
+    Unaligned/ambiguous positions get column _BIG so they sort last.
+    Alignment columns are strictly increasing, so no duplicates.
+    """
+    ok = (ref_col >= 0) & (query < 4)
+    cols = jnp.where(ok, ref_col, _BIG)
+    cols_sorted, base_sorted = jax.lax.sort(
+        (cols, query.astype(jnp.int32)), num_keys=1
+    )
+    return cols_sorted, base_sorted.astype(jnp.int8)
+
+
+def leaf_features(
+    cols_sorted: jax.Array,   # (B, L)
+    base_sorted: jax.Array,   # (B, L)
+    member_idx: jax.Array,    # (NL, M)
+    member_valid: jax.Array,  # (NL, M)
+    pol_cols: jax.Array,      # (NL, P) int32 column ids (padded arbitrary)
+    pol_valid: jax.Array,     # (NL, P) bool
+):
+    """feat (NL, M, P) int8: member base at polymorphic column, -1 uncovered."""
+    L = cols_sorted.shape[1]
+
+    mc = cols_sorted[member_idx]      # (NL, M, L)
+    mb = base_sorted[member_idx]      # (NL, M, L)
+
+    def one_read(cols_row, base_row, pcols):
+        i = jnp.clip(jnp.searchsorted(cols_row, pcols), 0, L - 1)
+        hit = cols_row[i] == pcols
+        return jnp.where(hit, base_row[i], -1).astype(jnp.int8)
+
+    f = jax.vmap(jax.vmap(one_read, in_axes=(0, 0, None)), in_axes=(0, 0, 0))(
+        mc, mb, pol_cols
+    )                                  # (NL, M, P)
+    f = jnp.where(member_valid[:, :, None], f, jnp.int8(-1))
+    f = jnp.where(pol_valid[:, None, :], f, jnp.int8(-1))
+    return f
+
+
+class DPMeansOut(NamedTuple):
+    assign: jax.Array    # (NL, M) int32 cluster id per member
+    centers: jax.Array   # (NL, K, P) int8
+    kact: jax.Array      # (NL,) int32 active cluster count
+
+
+def _consensus_counts(feat, weights):
+    """Per-column base counts (P, 4) over reads weighted by `weights` (M,)."""
+    onehot = (feat[:, :, None] == jnp.arange(4, dtype=jnp.int8)[None, None, :])
+    return jnp.einsum(
+        "m,mpb->pb", weights.astype(jnp.float32), onehot.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dp_means_single(cfg: PipelineConfig, feat: jax.Array):
+    """DP-means for one leaf. feat (M, P) int8 (-1 = uncovered; invalid member
+    rows are all -1). Mirrors oracle.cluster.dp_means exactly."""
+    M, P = feat.shape
+    K = cfg.max_clusters_per_bin
+    S = cfg.dp_spawn_scan
+    lam_n, lam_d = cfg.dp_lambda_num, cfg.dp_lambda_den
+
+    cov = feat >= 0                               # (M, P)
+    ncov = cov.sum(axis=1).astype(jnp.int32)      # (M,)
+    covered_reads = jnp.ones((M,), jnp.float32)   # all rows; empties harmless
+
+    # fallback = bin consensus (argmax counts; ties lowest base; empty -> 0)
+    cnt_all = _consensus_counts(feat, covered_reads)          # (P, 4)
+    fallback = jnp.where(
+        cnt_all.sum(axis=1) > 0, jnp.argmax(cnt_all, axis=1), 0
+    ).astype(jnp.int8)
+
+    centers0 = jnp.zeros((K, P), jnp.int8).at[0].set(fallback)
+    assign0 = jnp.zeros((M,), jnp.int32)
+    state0 = (centers0, assign0, jnp.int32(1), jnp.bool_(False))
+
+    def one_iter(state):
+        centers, assign, kact, _ = state
+        eq = feat[:, None, :] == centers[None, :, :]           # (M, K, P)
+        diff = ((~eq) & cov[:, None, :]).sum(axis=2).astype(jnp.int32)
+        diff = jnp.where(jnp.arange(K)[None, :] < kact, diff, _BIG)
+        new_assign = jnp.argmin(diff, axis=1).astype(jnp.int32)
+        dmin = jnp.take_along_axis(diff, new_assign[:, None], axis=1)[:, 0]
+        orphans = dmin * lam_d > lam_n * ncov                  # (M,)
+        n_orph = orphans.sum()
+        can_spawn = (n_orph >= cfg.dp_spawn_min_orphans) & (kact < K)
+
+        # first S orphan indices (ascending read index; _BIG = none)
+        okey = jnp.where(orphans, jnp.arange(M, dtype=jnp.int32), _BIG)
+        seeds = -jax.lax.top_k(-okey, S)[0]                    # (S,) ascending
+
+        def seed_support(sidx):
+            fv = feat[jnp.clip(sidx, 0, M - 1)]                # (P,)
+            common = cov & (fv >= 0)[None, :]
+            ncom = common.sum(axis=1).astype(jnp.int32)
+            dc = ((feat != fv[None, :]) & common).sum(axis=1).astype(jnp.int32)
+            supp = (orphans & (ncom > 0) & (dc * lam_d <= lam_n * ncom)).sum()
+            return jnp.where(sidx < _BIG, supp, 0)
+
+        supports = jax.vmap(seed_support)(seeds)               # (S,)
+        good = supports >= cfg.dp_spawn_min_orphans
+        any_good = good.any() & can_spawn
+        first = jnp.argmax(good)                               # first good seed
+        cand = jnp.clip(seeds[first], 0, M - 1)
+        fv = feat[cand]
+        newc = jnp.where(fv >= 0, fv, fallback).astype(jnp.int8)
+
+        centers = jnp.where(
+            any_good,
+            centers.at[jnp.clip(kact, 0, K - 1)].set(newc),
+            centers,
+        )
+        new_assign = jnp.where(
+            any_good, new_assign.at[cand].set(kact), new_assign
+        )
+        kact_new = kact + any_good.astype(jnp.int32)
+
+        # recompute centers: counts per (k, p, base) via one-hot einsum
+        aoh = (
+            new_assign[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)                                  # (M, K)
+        foh = (
+            feat[:, :, None] == jnp.arange(4, dtype=jnp.int8)[None, None, :]
+        ).astype(jnp.float32)                                  # (M, P, 4)
+        cnt = jnp.einsum("mk,mpb->kpb", aoh, foh,
+                         preferred_element_type=jnp.float32)   # (K, P, 4)
+        has = cnt.sum(axis=2) > 0
+        cen_new = jnp.where(
+            has, jnp.argmax(cnt, axis=2), fallback[None, :].astype(jnp.int32)
+        ).astype(jnp.int8)
+        cen_new = jnp.where(
+            jnp.arange(K)[:, None] < kact_new, cen_new, jnp.int8(0)
+        )
+        changed = (new_assign != assign).any() | any_good
+        return (cen_new, new_assign, kact_new, ~changed)
+
+    def body(_, state):
+        done = state[3]
+        return jax.lax.cond(done, lambda s: s, one_iter, state)
+
+    centers, assign, kact, _ = jax.lax.fori_loop(
+        0, cfg.dp_max_iters, body, state0
+    )
+
+    # merge identical active centers, compact ids in first-seen order
+    same = (centers[:, None, :] == centers[None, :, :]).all(axis=2)  # (K, K)
+    kk = jnp.arange(K, dtype=jnp.int32)
+    active = kk < kact
+    same = same & active[:, None] & active[None, :]
+    # canon[k] = smallest j with same[k, j] (j <= k always qualifies via k==k)
+    canon = jnp.argmax(same, axis=1).astype(jnp.int32)  # first True = smallest j
+    keep = canon == kk
+    remap = jnp.cumsum(keep.astype(jnp.int32)) - 1      # new id per kept k
+    assign = remap[canon[assign]]
+    kact2 = keep.sum().astype(jnp.int32)
+    # compact centers: kept centers in order
+    order_key = jnp.where(keep, kk, _BIG)
+    order = -jax.lax.top_k(-order_key, K)[0]            # kept ids ascending
+    centers2 = centers[jnp.clip(order, 0, K - 1)]
+    centers2 = jnp.where(jnp.arange(K)[:, None] < kact2, centers2, jnp.int8(0))
+    return assign, centers2, kact2
+
+
+def dp_means_leaves(feat: jax.Array, cfg: PipelineConfig) -> DPMeansOut:
+    """Run DP-means over all leaves. feat (NL, M, P) int8."""
+    assign, centers, kact = jax.lax.map(
+        functools.partial(_dp_means_single, cfg), feat
+    )
+    return DPMeansOut(assign=assign, centers=centers, kact=kact)

@@ -1,0 +1,200 @@
+"""Jitted consensus calling: (cluster, column, base) count tensors -> calls.
+
+Replaces samtools-pileup + per-column Python (SURVEY.md L7) and matches
+oracle.consensus / oracle.pipeline's variant-aware merging exactly:
+
+- counts_eff[col] = cluster counts at trusted polymorphic columns (depth >=
+  min_coverage AND unique argmax), bin-wide counts elsewhere; span (deletion)
+  evidence always comes from the same population that voted the bases;
+- a column is emitted iff it has base coverage, deletions do not outnumber
+  bases, and it lies within [first, last] covered column;
+- the called base is argmax (ties -> lowest code).
+
+Sequences stay as fixed-width (called, emit) tensors on device; the host
+compacts them to ragged gene sequences (panel management is host logic).
+
+`refine_consensus` needs no per-read member tables at all: exclusive counts
+are just the gene leaf's own node pileup, bin counts are the ancestor-chain
+sum, and provenance-group counts add the sibling gene leaves - everything
+derived from one scatter (pipeline.pileup.node_pileup).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.pipeline.pileup import leaf_pileup, polymorphic_mask
+
+
+class ConsensusOut(NamedTuple):
+    called: jax.Array   # (..., ref_len) int8 argmax base
+    emit: jax.Array     # (..., ref_len) bool
+    n_reads: jax.Array  # (...,) int32 population size behind each call
+
+
+def call_consensus_jax(counts_eff: jax.Array, span_eff: jax.Array):
+    """(..., ref_len, 4) counts + (..., ref_len) span -> (called, emit)."""
+    ref_len = counts_eff.shape[-2]
+    base_cover = counts_eff.sum(axis=-1)
+    covered = base_cover > 0
+    any_cov = covered.any(axis=-1)
+    lo = jnp.argmax(covered, axis=-1)
+    hi = ref_len - 1 - jnp.argmax(covered[..., ::-1], axis=-1)
+    dele = span_eff - base_cover
+    cols = jnp.arange(ref_len, dtype=jnp.int32)
+    emit = (
+        covered
+        & (dele <= base_cover)
+        & (cols >= lo[..., None])
+        & (cols <= hi[..., None])
+        & any_cov[..., None]
+    )
+    called = jnp.argmax(counts_eff, axis=-1).astype(jnp.int8)
+    return called, emit
+
+
+def _unique_top(counts: jax.Array):
+    """(..., 4) -> bool: strictly unique argmax."""
+    srt = jnp.sort(counts, axis=-1)
+    return srt[..., -1] > srt[..., -2]
+
+
+def _use_cluster(poly_mask, counts_k, min_coverage):
+    return (
+        poly_mask
+        & (counts_k.sum(axis=-1) >= min_coverage)
+        & _unique_top(counts_k)
+    )
+
+
+def _leaf_cluster_consensus(cfg: PipelineConfig, K: int, ref_len: int, args):
+    """Per-leaf cluster pileup + variant-aware consensus (round 0)."""
+    q, rc, valid, assign, poly_mask, counts_all, span_all = args
+    M, L = q.shape
+
+    ok = (rc >= 0) & (q < 4) & valid[:, None]
+    a = jnp.clip(assign, 0, K - 1)
+    col = jnp.clip(rc, 0, ref_len - 1)
+    base = jnp.clip(q, 0, 3).astype(jnp.int32)
+    flat = (a[:, None] * ref_len + col) * 4 + base
+    flat = jnp.where(ok, flat, K * ref_len * 4)
+    cnt = jnp.zeros((K * ref_len * 4 + 1,), jnp.int32).at[flat.reshape(-1)].add(1)
+    counts_k = cnt[:-1].reshape(K, ref_len, 4)
+
+    has = ok.any(axis=1)
+    lo_r = jnp.where(ok, rc, 1 << 30).min(axis=1)
+    hi_r = jnp.where(ok, rc, -1).max(axis=1)
+    lo_flat = a * (ref_len + 1) + jnp.clip(lo_r, 0, ref_len)
+    hi_flat = a * (ref_len + 1) + jnp.clip(hi_r + 1, 0, ref_len)
+    sentinel = K * (ref_len + 1)
+    lo_flat = jnp.where(has, lo_flat, sentinel)
+    hi_flat = jnp.where(has, hi_flat, sentinel)
+    sp = jnp.zeros((K * (ref_len + 1) + 1,), jnp.int32)
+    sp = sp.at[lo_flat].add(1).at[hi_flat].add(-1)
+    span_k = jnp.cumsum(sp[:-1].reshape(K, ref_len + 1)[:, :-1], axis=1)
+
+    use_k = _use_cluster(poly_mask[None, :], counts_k, cfg.min_coverage)
+    counts_eff = jnp.where(use_k[..., None], counts_k, counts_all[None])
+    span_eff = jnp.where(use_k, span_k, span_all[None])
+    called, emit = call_consensus_jax(counts_eff, span_eff)
+
+    nk = jnp.sum(
+        (assign[None, :] == jnp.arange(K, dtype=jnp.int32)[:, None]) & valid[None, :],
+        axis=1,
+    ).astype(jnp.int32)
+    return called, emit, nk
+
+
+def cluster_consensus_leaves(
+    q_members: jax.Array,      # (NL, M, L) int8
+    rc_members: jax.Array,     # (NL, M, L) int32
+    member_valid: jax.Array,   # (NL, M)
+    assign: jax.Array,         # (NL, M) int32
+    poly_mask: jax.Array,      # (NL, ref_len) bool
+    leaf_counts: jax.Array,    # (NL, ref_len, 4)
+    leaf_span: jax.Array,      # (NL, ref_len)
+    cfg: PipelineConfig,
+) -> ConsensusOut:
+    ref_len = leaf_counts.shape[1]
+    K = cfg.max_clusters_per_bin
+    f = functools.partial(_leaf_cluster_consensus, cfg, K, ref_len)
+    called, emit, nk = jax.lax.map(
+        f, (q_members, rc_members, member_valid, assign, poly_mask,
+            leaf_counts, leaf_span),
+    )
+    return ConsensusOut(called=called, emit=emit, n_reads=nk)
+
+
+def refine_consensus(
+    counts: jax.Array,        # (n_nodes, ref_len, 4) node pileup
+    span_diff: jax.Array,     # (n_nodes, ref_len+1)
+    read_count: jax.Array,    # (n_nodes,) int32 reads binned exactly at node
+    gene_leaves: jax.Array,   # (G,) int32 node id of each gene leaf
+    gene_group: jax.Array,    # (G,) int32 group (provenance taxon) index 0..NT-1
+    group_taxon: jax.Array,   # (NT,) int32 node id of each group's taxon
+    anc_path: jax.Array,
+    depth: jax.Array,
+    cfg: PipelineConfig,
+):
+    """Refinement-round consensus (oracle.pipeline.refine_round semantics).
+
+    Returns (ConsensusOut over genes, n_members (G,), n_excl (G,)).
+    """
+    ref_len = counts.shape[1]
+    NT = group_taxon.shape[0]
+
+    # per-gene member pileup = ancestor chain of the gene leaf
+    g_counts, g_span = leaf_pileup(counts, span_diff, gene_leaves, anc_path, depth)
+
+    # exclusive pileup = the gene leaf's own node pileup
+    ex_counts = counts[gene_leaves]
+    ex_span = jnp.cumsum(span_diff[gene_leaves][:, :-1], axis=1)
+
+    # group pileup = chain(taxon) + sum of gene-leaf node pileups in the group
+    t_counts, _ = leaf_pileup(counts, span_diff, group_taxon, anc_path, depth)
+    t_span_diff = _chain_span_diff(span_diff, group_taxon, anc_path, depth)
+    seg = jax.nn.one_hot(gene_group, NT, dtype=jnp.float32)       # (G, NT)
+    add_counts = jnp.einsum(
+        "gt,gcb->tcb", seg, ex_counts.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    grp_counts = t_counts + add_counts
+
+    pm = polymorphic_mask(
+        grp_counts, cfg.min_coverage, cfg.poly_min_minor_count,
+        cfg.poly_min_minor_frac, cfg.max_poly_cols,
+    )                                                             # (NT, ref_len)
+    pm_g = pm[gene_group]                                         # (G, ref_len)
+
+    use_ex = _use_cluster(pm_g, ex_counts, cfg.min_coverage)
+    counts_eff = jnp.where(use_ex[..., None], ex_counts, g_counts)
+    span_eff = jnp.where(use_ex, ex_span, g_span)
+    called, emit = call_consensus_jax(counts_eff, span_eff)
+
+    n_excl = read_count[gene_leaves]
+    n_mem = _chain_read_count(read_count, gene_leaves, anc_path, depth)
+    return ConsensusOut(called=called, emit=emit, n_reads=n_mem), n_mem, n_excl
+
+
+def _chain_span_diff(span_diff, nodes, anc_path, depth):
+    from rambl_tpu.index.taxonomy import MAX_DEPTH
+
+    paths = anc_path[nodes]
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    use = dd[None, :] <= depth[nodes][:, None]
+    s = span_diff[paths]
+    return jnp.sum(s * use[:, :, None], axis=1)
+
+
+def _chain_read_count(read_count, nodes, anc_path, depth):
+    from rambl_tpu.index.taxonomy import MAX_DEPTH
+
+    paths = anc_path[nodes]
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    use = dd[None, :] <= depth[nodes][:, None]
+    return jnp.sum(read_count[paths] * use, axis=1).astype(jnp.int32)

@@ -1,0 +1,112 @@
+"""On-chip pileup tensors: the samtools-mpileup replacement (SURVEY.md L7).
+
+Alignments stay dense on device; pileup is a scatter-add into
+(node, column, base) count tensors in *taxonomy-node space*:
+
+- each read scatters its aligned bases into its bin node's counts;
+- a leaf bin's pileup is then the sum over the leaf's ancestor chain
+  (gather anc_path + sum), reproducing oracle.binning.leaf_membership's
+  "reads shared down the tree" semantics without any per-leaf masking;
+- span (interval) coverage uses the same +1/-1 diff trick as the oracle,
+  scattered per node and cumsum'd per leaf after the ancestor merge.
+
+Across devices these count tensors are merged with jax.lax.psum before
+consensus (BASELINE.json:5), which is exact for integer counts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rambl_tpu.index.taxonomy import MAX_DEPTH
+
+
+def node_pileup(
+    query: jax.Array,     # (B, L) int8 aligned-orientation codes
+    ref_col: jax.Array,   # (B, L) int32 global columns, -1 = unaligned
+    bins: jax.Array,      # (B,) int32 bin node per read (-1 = unaligned)
+    n_nodes: int,
+    ref_len: int,
+):
+    """Scatter reads into node space.
+
+    Returns (counts (n_nodes, ref_len, 4) int32, span_diff (n_nodes, ref_len+1)
+    int32). span_diff is the un-cumsum'd interval-difference array.
+    """
+    B, L = query.shape
+    ok = (ref_col >= 0) & (query < 4) & (bins[:, None] >= 0)
+    node = jnp.broadcast_to(jnp.clip(bins, 0, n_nodes - 1)[:, None], (B, L))
+    col = jnp.clip(ref_col, 0, ref_len - 1)
+    base = jnp.clip(query, 0, 3).astype(jnp.int32)
+
+    flat = (node * ref_len + col) * 4 + base
+    flat = jnp.where(ok, flat, n_nodes * ref_len * 4)  # overflow slot
+    counts = jnp.zeros((n_nodes * ref_len * 4 + 1,), jnp.int32)
+    counts = counts.at[flat.reshape(-1)].add(1)
+    counts = counts[:-1].reshape(n_nodes, ref_len, 4)
+
+    # span: per read lo/hi of aligned columns
+    has = ok.any(axis=1)
+    masked_lo = jnp.where(ok, ref_col, 1 << 30).min(axis=1)
+    masked_hi = jnp.where(ok, ref_col, -1).max(axis=1)
+    node1 = jnp.clip(bins, 0, n_nodes - 1)
+    lo_flat = node1 * (ref_len + 1) + jnp.clip(masked_lo, 0, ref_len)
+    hi_flat = node1 * (ref_len + 1) + jnp.clip(masked_hi + 1, 0, ref_len)
+    sentinel = n_nodes * (ref_len + 1)
+    lo_flat = jnp.where(has, lo_flat, sentinel)
+    hi_flat = jnp.where(has, hi_flat, sentinel)
+    span = jnp.zeros((n_nodes * (ref_len + 1) + 1,), jnp.int32)
+    span = span.at[lo_flat].add(1)
+    span = span.at[hi_flat].add(-1)
+    span_diff = span[:-1].reshape(n_nodes, ref_len + 1)
+    return counts, span_diff
+
+
+def leaf_pileup(
+    counts: jax.Array,      # (n_nodes, ref_len, 4)
+    span_diff: jax.Array,   # (n_nodes, ref_len+1)
+    leaves: jax.Array,      # (NL,) int32 leaf node ids
+    anc_path: jax.Array,    # (n_nodes, MAX_DEPTH) int32
+    depth: jax.Array,       # (n_nodes,) int32
+):
+    """Merge ancestor-chain node pileups per leaf.
+
+    Returns (leaf_counts (NL, ref_len, 4) int32,
+             leaf_span (NL, ref_len) int32 cumulative span coverage).
+
+    The ancestor chain of a leaf at depth d is anc_path[leaf, 0..d] (padding
+    repeats the leaf itself, which must not be double counted - mask by
+    depth index).
+    """
+    paths = anc_path[leaves]                     # (NL, D)
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    use = dd[None, :] <= depth[leaves][:, None]  # (NL, D)
+    c = counts[paths]                            # (NL, D, ref_len, 4)
+    leaf_counts = jnp.sum(c * use[:, :, None, None], axis=1)
+    s = span_diff[paths]                         # (NL, D, ref_len+1)
+    leaf_span_diff = jnp.sum(s * use[:, :, None], axis=1)
+    leaf_span = jnp.cumsum(leaf_span_diff[:, :-1], axis=1)
+    return leaf_counts.astype(jnp.int32), leaf_span.astype(jnp.int32)
+
+
+def polymorphic_mask(
+    leaf_counts: jax.Array,  # (NL, ref_len, 4)
+    min_coverage: int,
+    poly_min_minor_count: int,
+    poly_min_minor_frac: float,
+    max_poly_cols: int,
+):
+    """Bool (NL, ref_len) mask of the first max_poly_cols polymorphic columns
+    per leaf (ascending column), matching oracle.cluster.polymorphic_cols."""
+    tot = leaf_counts.sum(axis=2)
+    top = leaf_counts.max(axis=2)
+    minor = tot - top
+    frac = jnp.where(tot > 0, minor / jnp.maximum(tot, 1), 0.0)
+    is_poly = (
+        (tot >= min_coverage)
+        & (minor >= poly_min_minor_count)
+        & (frac >= poly_min_minor_frac)
+    )
+    rank = jnp.cumsum(is_poly.astype(jnp.int32), axis=1)
+    return is_poly & (rank <= max_poly_cols)

@@ -9,12 +9,18 @@ Env vars must be set before jax is imported anywhere, hence this conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The environment's TPU plugin (platform "axon") force-selects itself via
+# JAX_PLATFORMS, so the env var alone cannot pin tests to CPU - the config
+# update below can (must run before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

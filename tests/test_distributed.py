@@ -1,0 +1,111 @@
+"""Distributed invariance tests on the forced 8-device CPU mesh
+(SURVEY.md section 4.2): sharded == replicated == single-device, bitwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.ops.seed import SeedTable, seed_candidates_jax
+from rambl_tpu.parallel.mesh import data_mesh, put_replicated, put_sharded
+from rambl_tpu.parallel.ring import build_ring_shards
+from rambl_tpu.parallel.steps import make_align_pileup_step
+from rambl_tpu.pipeline.align import align_batch
+from rambl_tpu.pipeline.binning import bin_batch
+from rambl_tpu.pipeline.pileup import node_pileup
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (fake) devices"
+)
+
+B = 128  # batch, divisible by 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return data_mesh(8)
+
+
+def _single_device_reference(ds, index, tax, cfg):
+    table = SeedTable.from_index(index)
+    res = align_batch(
+        jnp.asarray(ds.reads[:B]), jnp.asarray(ds.read_lens[:B]), table,
+        jnp.asarray(ds.ref_seqs), cfg,
+    )
+    bins = bin_batch(
+        res, jnp.asarray(tax.ref_taxon), jnp.asarray(tax.anc_path),
+        jnp.asarray(tax.depth), cfg,
+    )
+    counts, span = node_pileup(
+        res.query, res.ref_col, bins, tax.n_nodes, ds.ref_seqs.shape[1]
+    )
+    return res, bins, np.asarray(counts), np.asarray(span)
+
+
+def test_sharded_step_matches_single_device(small_ds, small_index, small_tax, cfg, mesh):
+    res1, bins1, counts1, span1 = _single_device_reference(
+        small_ds, small_index, small_tax, cfg
+    )
+
+    step = make_align_pileup_step(
+        mesh, cfg, small_index.n_bits, small_tax.n_nodes,
+        small_ds.ref_seqs.shape[1],
+    )
+    table = SeedTable.from_index(small_index)
+    reads = put_sharded(small_ds.reads[:B], mesh)
+    lens = put_sharded(small_ds.read_lens[:B], mesh)
+    args = [put_replicated(np.asarray(x), mesh) for x in
+            (table.bucket_start, table.entry_key, table.entry_ref,
+             table.entry_pos, small_ds.ref_seqs, small_tax.ref_taxon,
+             small_tax.anc_path, small_tax.depth)]
+    q, rc, bins, score, counts, span, rcount = step(reads, lens, *args)
+
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(res1.query))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(res1.ref_col))
+    np.testing.assert_array_equal(np.asarray(bins), np.asarray(bins1))
+    np.testing.assert_array_equal(np.asarray(score), np.asarray(res1.score))
+    np.testing.assert_array_equal(np.asarray(counts), counts1)
+    np.testing.assert_array_equal(np.asarray(span), span1)
+    binned = np.asarray(bins1)
+    expect_rcount = np.bincount(binned[binned >= 0], minlength=small_tax.n_nodes)
+    np.testing.assert_array_equal(np.asarray(rcount), expect_rcount)
+
+
+def test_ring_sharded_index_matches_replicated(small_ds, small_index, small_tax, cfg, mesh):
+    step = make_align_pileup_step(
+        mesh, cfg, small_index.n_bits, small_tax.n_nodes,
+        small_ds.ref_seqs.shape[1], ring=True,
+    )
+    shards = build_ring_shards(small_index, 8)
+    reads = put_sharded(small_ds.reads[:B], mesh)
+    lens = put_sharded(small_ds.read_lens[:B], mesh)
+    shard_args = [put_sharded(shards[k], mesh) for k in
+                  ("bucket_start", "entry_key", "entry_ref", "entry_pos")]
+    repl_args = [put_replicated(np.asarray(x), mesh) for x in
+                 (small_ds.ref_seqs, small_tax.ref_taxon,
+                  small_tax.anc_path, small_tax.depth)]
+    q, rc, bins, score, counts, span, rcount = step(
+        reads, lens, *shard_args, *repl_args
+    )
+
+    res1, bins1, counts1, span1 = _single_device_reference(
+        small_ds, small_index, small_tax, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(score), np.asarray(res1.score))
+    np.testing.assert_array_equal(np.asarray(bins), np.asarray(bins1))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(res1.ref_col))
+    np.testing.assert_array_equal(np.asarray(counts), counts1)
+
+
+def test_ring_shards_roundtrip(small_index):
+    """Shard slicing preserves every entry exactly once."""
+    shards = build_ring_shards(small_index, 8)
+    total = 0
+    for s in range(8):
+        n = int((shards["entry_key"][s] >= 0).sum())
+        # keys are >= 0 by construction; padding is -1
+        total += n
+    assert total == small_index.n_entries
