@@ -45,12 +45,12 @@ def build_ring_shards(index: SeedIndex, n_shards: int):
     Feed shard s to device s (shard_map in_specs P('data') splits dim 0).
     """
     P = index.n_buckets
-    assert P % n_shards == 0, "bucket count must divide by shard count"
-    Pn = P // n_shards
+    Pn = -(-P // n_shards)  # ceil; trailing shards may be padded with empty
     slices = []
-    emax = 0
+    emax = 1
     for s in range(n_shards):
-        lo_b, hi_b = s * Pn, (s + 1) * Pn
+        lo_b = min(s * Pn, P)
+        hi_b = min((s + 1) * Pn, P)
         lo_e = int(index.bucket_start[lo_b])
         hi_e = int(index.bucket_start[hi_b])
         emax = max(emax, hi_e - lo_e)
@@ -60,7 +60,9 @@ def build_ring_shards(index: SeedIndex, n_shards: int):
     er = np.zeros((n_shards, emax), np.int32)
     ep = np.zeros((n_shards, emax), np.int32)
     for s, (lo_b, hi_b, lo_e, hi_e) in enumerate(slices):
-        bs[s] = index.bucket_start[lo_b : hi_b + 1]
+        seg = index.bucket_start[lo_b : hi_b + 1]
+        bs[s, : seg.shape[0]] = seg
+        bs[s, seg.shape[0] :] = seg[-1] if seg.size else 0  # empty pad buckets
         n = hi_e - lo_e
         ek[s, :n] = index.entry_key[lo_e:hi_e]
         er[s, :n] = index.entry_ref[lo_e:hi_e]
