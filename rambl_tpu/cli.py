@@ -1,0 +1,197 @@
+"""rambl_tpu command line (SURVEY.md L1 replacement).
+
+Subcommands:
+  simulate  - generate a mock community (FASTA refs + FASTQ reads + truth)
+  assemble  - run the full TPU assembly pipeline on reads vs a reference DB
+  bench     - alignment/SW microbenchmarks on the local chip
+
+`assemble` consumes a reference FASTA with a Greengenes-style taxonomy TSV
+(name<TAB>k__...;p__...;...) or falls back to one leaf per reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from rambl_tpu.config import PRESETS, PipelineConfig
+from rambl_tpu.io.fasta import read_fasta, read_fastq, write_fasta, write_fastq
+from rambl_tpu.io.pack import decode_seq, encode_batch
+from rambl_tpu.index.taxonomy import TaxonomyTables, build_taxonomy_tables
+
+
+def _load_taxonomy(path: Optional[str], ref_names: List[str]):
+    """Greengenes-style taxonomy TSV -> tree tensors; None -> flat leaves."""
+    if path is None:
+        n = len(ref_names)
+        parent = np.zeros((n + 1,), np.int32)
+        depth = np.concatenate([[0], np.ones(n)]).astype(np.int32)
+        ref_taxon = np.arange(1, n + 1, dtype=np.int32)
+        return build_taxonomy_tables(parent, depth, ref_taxon)
+    lineages: Dict[str, List[str]] = {}
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            name, lin = line.rstrip("\n").split("\t", 1)
+            lineages[name] = [x.strip() for x in lin.split(";") if x.strip()]
+    parent = [0]
+    depth = [0]
+    node_of: Dict[tuple, int] = {(): 0}
+
+    def node(pathq: tuple) -> int:
+        if pathq in node_of:
+            return node_of[pathq]
+        p = node(pathq[:-1])
+        nid = len(parent)
+        parent.append(p)
+        depth.append(len(pathq))
+        node_of[pathq] = nid
+        return nid
+
+    ref_taxon = []
+    for name in ref_names:
+        lin = lineages.get(name, [])
+        # each reference is its own leaf below its lineage
+        ref_taxon.append(node(tuple(lin) + (f"__ref__{name}",)))
+    return build_taxonomy_tables(
+        np.asarray(parent, np.int32), np.asarray(depth, np.int32),
+        np.asarray(ref_taxon, np.int32),
+    )
+
+
+def cmd_simulate(args) -> int:
+    from rambl_tpu.data.simulate import simulate_dataset
+
+    ds = simulate_dataset(
+        n_species=args.species, refs_per_species=args.strains,
+        n_reads=args.reads, seed=args.seed,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    write_fasta(os.path.join(args.out, "refs.fasta"), ds.ref_fasta())
+    write_fastq(
+        os.path.join(args.out, "reads.fastq"),
+        [(n, decode_seq(ds.reads[i, : ds.read_lens[i]]), ds.read_quals[i])
+         for i, n in enumerate(ds.read_names)],
+    )
+    with open(os.path.join(args.out, "taxonomy.tsv"), "w") as f:
+        for i, n in enumerate(ds.ref_names):
+            # full ancestor path names
+            node = int(ds.ref_taxon[i])
+            chain = []
+            while node != 0:
+                chain.append(ds.tax_name[node])
+                node = int(ds.tax_parent[node])
+            f.write(n + "\t" + ";".join(reversed(chain)) + "\n")
+    with open(os.path.join(args.out, "truth.json"), "w") as f:
+        json.dump({
+            "true_ref": ds.true_ref.tolist(),
+            "true_pos": ds.true_pos.tolist(),
+            "true_strand": ds.true_strand.tolist(),
+        }, f)
+    print(f"wrote {ds.n_refs} refs / {ds.n_reads} reads to {args.out}")
+    return 0
+
+
+def cmd_assemble(args) -> int:
+    from rambl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from rambl_tpu.utils.metrics import MetricsLogger
+
+    cfg = PRESETS[args.preset] if args.preset else PipelineConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = PipelineConfig.from_json(f.read())
+
+    refs = read_fasta(args.reference)
+    ref_names = [n for n, _ in refs]
+    ref_seqs, ref_lens = encode_batch([s for _, s in refs], cfg.ref_len_max)
+    reads_rec = read_fastq(args.reads)
+    reads, read_lens = encode_batch([s for _, s, _ in reads_rec], cfg.read_len_max)
+    tables = _load_taxonomy(args.taxonomy, ref_names)
+
+    metrics = MetricsLogger(args.metrics)
+    metrics.log("load", refs=len(refs), reads=len(reads_rec),
+                preset=args.preset or "default")
+
+    if args.oracle:
+        from rambl_tpu.oracle.pipeline import assemble as run
+    else:
+        from rambl_tpu.pipeline.assemble import assemble_jax as run
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    result = run(reads, read_lens, ref_seqs, ref_lens, tables, cfg)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    for s in result.round_stats:
+        metrics.log("round", **s)
+    genes = result.genes
+    full = result.full_length(cfg)
+    metrics.log("done", genes=len(genes), full_length=len(full),
+                rounds=result.n_rounds, converged=result.converged)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    write_fasta(args.out, [
+        (f"gene{i}|reads={g.n_reads}|taxon={g.taxon}|len={g.seq.shape[0]}",
+         decode_seq(g.seq))
+        for i, g in enumerate(genes)
+    ])
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, cfg, genes, result.n_rounds,
+                        result.round_stats)
+    print(f"assembled {len(genes)} genes ({len(full)} full-length) -> {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rambl_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate", help="generate a mock community")
+    s.add_argument("--out", required=True)
+    s.add_argument("--species", type=int, default=20)
+    s.add_argument("--strains", type=int, default=5)
+    s.add_argument("--reads", type=int, default=10_000)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_simulate)
+
+    a = sub.add_parser("assemble", help="assemble full-length 16S genes")
+    a.add_argument("--reads", required=True, help="FASTQ[.gz]")
+    a.add_argument("--reference", required=True, help="reference FASTA[.gz]")
+    a.add_argument("--taxonomy", help="taxonomy TSV (name<TAB>lineage;...)")
+    a.add_argument("--out", required=True, help="output FASTA")
+    a.add_argument("--preset", choices=sorted(PRESETS))
+    a.add_argument("--config", help="PipelineConfig JSON file")
+    a.add_argument("--oracle", action="store_true",
+                   help="run the NumPy oracle instead of the TPU path")
+    a.add_argument("--metrics", help="JSONL metrics output path")
+    a.add_argument("--checkpoint", help="write final panel checkpoint here")
+    a.add_argument("--profile", help="dump a jax.profiler trace to this dir")
+    a.set_defaults(fn=cmd_assemble)
+
+    b = sub.add_parser("bench", help="run microbenchmarks")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""Stage-level checkpoint / resume (SURVEY.md section 5).
+
+The reference's implicit "checkpointing" is its SAM/BAM/FASTA temp files; here
+pipeline state (gene panel with provenance, round cursor, config fingerprint)
+serializes explicitly at round boundaries. Determinism (tests
+test_determinism.py) makes resume bitwise-reproducing: re-running round t from
+a checkpoint yields the same panel as an uninterrupted run.
+
+Format: a single .npz (numpy, host-side - the panel is tiny) + a JSON header.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.oracle.pipeline import Gene
+
+FORMAT_VERSION = 1
+
+
+def config_fingerprint(cfg: PipelineConfig) -> str:
+    return hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
+
+
+def save_checkpoint(path: str, cfg: PipelineConfig, genes: List[Gene],
+                    round_idx: int, round_stats: Optional[list] = None) -> None:
+    header = dict(
+        format=FORMAT_VERSION,
+        config=json.loads(cfg.to_json()),
+        fingerprint=config_fingerprint(cfg),
+        round=round_idx,
+        n_genes=len(genes),
+        round_stats=round_stats or [],
+    )
+    arrays = {"__lens__": np.array([g.seq.shape[0] for g in genes], np.int32)}
+    if genes:
+        arrays["seqs"] = np.concatenate([g.seq for g in genes]).astype(np.int8)
+        arrays["meta"] = np.array(
+            [[g.n_reads, g.leaf, g.cluster, g.round_born, g.taxon] for g in genes],
+            np.int32,
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, header=np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8), **arrays)
+    os.replace(tmp, path)  # atomic
+
+
+def load_checkpoint(path: str) -> Tuple[dict, List[Gene]]:
+    z = np.load(path)
+    header = json.loads(bytes(z["header"]).decode())
+    if header["format"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint format {header['format']}")
+    genes: List[Gene] = []
+    lens = z["__lens__"]
+    if lens.size:
+        seqs = z["seqs"]
+        meta = z["meta"]
+        off = 0
+        for i, L in enumerate(lens):
+            seq = seqs[off : off + L].copy()
+            off += int(L)
+            n_reads, leaf, cluster, born, taxon = (int(x) for x in meta[i])
+            genes.append(Gene(seq=seq, n_reads=n_reads, leaf=leaf,
+                              cluster=cluster, round_born=born, taxon=taxon))
+    return header, genes
