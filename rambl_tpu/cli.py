@@ -107,15 +107,17 @@ def cmd_assemble(args) -> int:
         with open(args.config) as f:
             cfg = PipelineConfig.from_json(f.read())
 
-    refs = read_fasta(args.reference)
+    from rambl_tpu.io.loader import load_fasta_codes, load_fastq_codes, native_available
+
+    refs = read_fasta(args.reference)  # names needed for taxonomy mapping
     ref_names = [n for n, _ in refs]
     ref_seqs, ref_lens = encode_batch([s for _, s in refs], cfg.ref_len_max)
-    reads_rec = read_fastq(args.reads)
-    reads, read_lens = encode_batch([s for _, s, _ in reads_rec], cfg.read_len_max)
+    reads, read_lens = load_fastq_codes(args.reads, cfg.read_len_max)
     tables = _load_taxonomy(args.taxonomy, ref_names)
 
     metrics = MetricsLogger(args.metrics)
-    metrics.log("load", refs=len(refs), reads=len(reads_rec),
+    metrics.log("load", refs=len(refs), reads=int(reads.shape[0]),
+                native_loader=native_available(),
                 preset=args.preset or "default")
 
     if args.oracle:

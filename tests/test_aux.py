@@ -1,0 +1,97 @@
+"""Aux subsystems: checkpoint roundtrip, metrics, CLI, determinism
+(SURVEY.md section 5 + 4.2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rambl_tpu.config import PipelineConfig, PRESETS
+from rambl_tpu.oracle.pipeline import Gene
+from rambl_tpu.utils.checkpoint import (
+    config_fingerprint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from rambl_tpu.utils.metrics import MetricsLogger
+
+
+def _genes():
+    rng = np.random.default_rng(0)
+    return [
+        Gene(seq=rng.integers(0, 4, rng.integers(10, 50)).astype(np.int8),
+             n_reads=int(rng.integers(3, 100)), leaf=i, cluster=i % 3,
+             round_born=0, taxon=i + 1)
+        for i in range(5)
+    ]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = PipelineConfig()
+    genes = _genes()
+    p = str(tmp_path / "panel.ckpt")
+    save_checkpoint(p, cfg, genes, round_idx=2, round_stats=[{"round": 0}])
+    header, loaded = load_checkpoint(p)
+    assert header["round"] == 2
+    assert header["fingerprint"] == config_fingerprint(cfg)
+    assert len(loaded) == len(genes)
+    for a, b in zip(genes, loaded):
+        np.testing.assert_array_equal(a.seq, b.seq)
+        assert (a.n_reads, a.leaf, a.cluster, a.round_born, a.taxon) == (
+            b.n_reads, b.leaf, b.cluster, b.round_born, b.taxon)
+
+
+def test_checkpoint_empty_panel(tmp_path):
+    p = str(tmp_path / "empty.ckpt")
+    save_checkpoint(p, PipelineConfig(), [], round_idx=0)
+    header, loaded = load_checkpoint(p)
+    assert loaded == []
+
+
+def test_config_json_roundtrip():
+    cfg = PRESETS["deep"]
+    cfg2 = PipelineConfig.from_json(cfg.to_json())
+    assert cfg == cfg2
+    assert config_fingerprint(cfg) == config_fingerprint(cfg2)
+
+
+def test_metrics_jsonl(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    with MetricsLogger(p, quiet=True) as m:
+        m.log("align", reads=100, score=5)
+        m.log("done", genes=3)
+    lines = [json.loads(x) for x in open(p)]
+    assert lines[0]["stage"] == "align" and lines[0]["reads"] == 100
+    assert lines[1]["genes"] == 3
+
+
+def test_cli_simulate_and_oracle_assemble(tmp_path):
+    from rambl_tpu.cli import main
+
+    out = str(tmp_path / "mock")
+    assert main(["simulate", "--out", out, "--species", "2", "--strains", "1",
+                 "--reads", "120", "--seed", "4"]) == 0
+    assert os.path.exists(os.path.join(out, "refs.fasta"))
+    genes = str(tmp_path / "genes.fasta")
+    # oracle path end-to-end through the CLI (device path covered elsewhere)
+    assert main(["assemble", "--reads", os.path.join(out, "reads.fastq"),
+                 "--reference", os.path.join(out, "refs.fasta"),
+                 "--taxonomy", os.path.join(out, "taxonomy.tsv"),
+                 "--out", genes, "--oracle",
+                 "--metrics", str(tmp_path / "m.jsonl")]) == 0
+    text = open(genes).read()
+    assert text.startswith(">gene0")
+
+
+def test_determinism_across_runs(small_ds, small_tax):
+    """Same input -> identical panel, twice (SURVEY.md determinism)."""
+    from rambl_tpu.oracle.pipeline import assemble
+
+    cfg = PipelineConfig(max_assembly_iters=1)
+    n = 250
+    r1 = assemble(small_ds.reads[:n], small_ds.read_lens[:n],
+                  small_ds.ref_seqs, small_ds.ref_lens, small_tax, cfg)
+    r2 = assemble(small_ds.reads[:n], small_ds.read_lens[:n],
+                  small_ds.ref_seqs, small_ds.ref_lens, small_tax, cfg)
+    assert [g.key() for g in r1.genes] == [g.key() for g in r2.genes]
