@@ -25,23 +25,36 @@ _HASH_MULT = jnp.uint32(2654435769)
 
 
 class SeedTable(NamedTuple):
-    """Device-resident CSR seed table (see index.builder.SeedIndex)."""
+    """Device-resident CSR seed table (see index.builder.SeedIndex).
+
+    Entries are packed (key, ref, pos, 0) rows so a bucket probe is ONE
+    contiguous-row gather instead of three strided ones - gathers dominate
+    seeding cost on TPU.
+    """
 
     bucket_start: jax.Array   # (P+1,) int32
-    entry_key: jax.Array      # (n_entries,) int32
-    entry_ref: jax.Array      # (n_entries,) int32
-    entry_pos: jax.Array      # (n_entries,) int32
+    entries: jax.Array        # (n_entries, 4) int32 rows (key, ref, pos, 0)
     n_bits: int               # static
 
     @staticmethod
     def from_index(index) -> "SeedTable":
         return SeedTable(
             bucket_start=jnp.asarray(index.bucket_start),
-            entry_key=jnp.asarray(index.entry_key),
-            entry_ref=jnp.asarray(index.entry_ref),
-            entry_pos=jnp.asarray(index.entry_pos),
+            entries=jnp.asarray(pack_entries(
+                index.entry_key, index.entry_ref, index.entry_pos)),
             n_bits=index.n_bits,
         )
+
+
+def pack_entries(key, ref, pos):
+    import numpy as np
+
+    n = key.shape[0]
+    out = np.zeros((n, 4), np.int32)
+    out[:, 0] = key
+    out[:, 1] = ref
+    out[:, 2] = pos
+    return out
 
 
 def hash_kmer_jax(keys, n_bits: int):
@@ -65,22 +78,22 @@ def query_kmers_jax(reads, read_lens, cfg: PipelineConfig):
 BIGK = jnp.int32(2 ** 31 - 1)
 
 
-def probe(keys, valid, bucket, bucket_start, entry_key, entry_ref, entry_pos,
-           cfg: PipelineConfig, bucket_lo=0):
+def probe(keys, valid, bucket, bucket_start, entries,
+          cfg: PipelineConfig, bucket_lo=0):
     """Probe a (possibly bucket-range-sharded) seed table.
 
     keys/valid: (B, Q) query k-mer keys + validity; bucket: (B, Q) global
     bucket ids (hash of keys). bucket_start is the CSR slice covering buckets
-    [bucket_lo, bucket_lo + n_local] with ABSOLUTE offsets (entry arrays are
-    the matching slice, so local entry index = offset - bucket_start[0]).
-    Buckets outside the local range yield no hits, enabling ring-sharded
-    lookups (parallel.ring).
+    [bucket_lo, bucket_lo + n_local] with ABSOLUTE offsets; entries is the
+    matching packed (n, 4) slice (local entry index = offset -
+    bucket_start[0]). Buckets outside the local range yield no hits, enabling
+    ring-sharded lookups (parallel.ring).
 
     Returns ckey (B, Q, cap) int32 candidate vote keys; BIGK = miss.
     """
     pos = jnp.arange(0, cfg.read_len_max - cfg.k + 1, cfg.seed_stride, dtype=jnp.int32)
     cap = cfg.bucket_cap
-    n_entries = entry_key.shape[0]
+    n_entries = entries.shape[0]
     n_local = bucket_start.shape[0] - 1
 
     local_b = bucket - bucket_lo                           # (B, Q)
@@ -93,9 +106,8 @@ def probe(keys, valid, bucket, bucket_start, entry_key, entry_ref, entry_pos,
     eidx = start[..., None] + slot                         # (B, Q, cap)
     in_bucket = slot[None, None, :] < count[..., None]
     eidx = jnp.clip(eidx, 0, max(n_entries - 1, 0))
-    ekey = jnp.take(entry_key, eidx)
-    eref = jnp.take(entry_ref, eidx)
-    epos = jnp.take(entry_pos, eidx)
+    g = jnp.take(entries, eidx, axis=0)                    # (B, Q, cap, 4)
+    ekey, eref, epos = g[..., 0], g[..., 1], g[..., 2]
 
     hit = (
         in_range[..., None]
@@ -110,23 +122,33 @@ def probe(keys, valid, bucket, bucket_start, entry_key, entry_ref, entry_pos,
 
 
 def select_candidates(ckey, cfg: PipelineConfig):
-    """Vote counting + deterministic top-C from probe keys (B, Q, cap)."""
+    """Vote counting + deterministic top-C from probe keys (B, Q, cap).
+
+    Run lengths of the sorted key rows come from cummax/roll scans (pure
+    vector ops) - no per-element binary searches, whose gathers dominated
+    seeding cost in the first implementation.
+    """
     B = ckey.shape[0]
     flat = ckey.reshape(B, -1)
+    N = flat.shape[1]
     flat = jnp.sort(flat, axis=1)
     # first-of-run positions own the run; others contribute votes only
     is_first = jnp.concatenate(
         [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1
     )
-    # votes per element = run length, computed via searchsorted on own row
-    vsearch = jax.vmap(
-        functools.partial(jnp.searchsorted, side="right"), in_axes=(0, 0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    # next run start after each position: reverse cummin of first-positions
+    firsts = jnp.where(is_first, idx, jnp.int32(N))
+    next_start = jnp.concatenate(
+        [
+            jax.lax.cummin(firsts[:, ::-1], axis=1)[:, ::-1][:, 1:],
+            jnp.full((B, 1), N, jnp.int32),
+        ],
+        axis=1,
     )
-    lsearch = jax.vmap(
-        functools.partial(jnp.searchsorted, side="left"), in_axes=(0, 0)
-    )
-    votes = (vsearch(flat, flat) - lsearch(flat, flat)).astype(jnp.int32)
-    votes = jnp.where(is_first & (flat != BIGK), votes, 0)
+    votes = jnp.where(
+        is_first & (flat != BIGK), next_start - idx, 0
+    ).astype(jnp.int32)
 
     # order by (votes desc, key asc): lexicographic two-key sort
     neg_votes = -votes
@@ -160,10 +182,7 @@ def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig)
     """
     keys, valid = query_kmers_jax(reads, read_lens, cfg)   # (B, Q)
     bucket = hash_kmer_jax(keys, table.n_bits)
-    ckey = probe(
-        keys, valid, bucket, table.bucket_start, table.entry_key,
-        table.entry_ref, table.entry_pos, cfg,
-    )
+    ckey = probe(keys, valid, bucket, table.bucket_start, table.entries, cfg)
     return select_candidates(ckey, cfg)
 
 

@@ -138,12 +138,18 @@ def sw_align(q, w, sc: ScoringParams):
 
 def sw_traceback(dirs, i_end, j_end, L: int, W: int):
     """Vectorized traceback -> ref_col (B, L) int32 (window col per query
-    position, -1 when clipped/inserted). Matches oracle.traceback_batch."""
+    position, -1 when clipped/inserted). Matches oracle.traceback_batch.
+
+    The scan only walks the path and EMITS (query pos, window col) per step;
+    the ref_col tensor is built by a single scatter at the end. (A per-step
+    .at[].set inside the scan carried a full (B, L) buffer through every
+    iteration and dominated align-path time.)
+    """
     B = i_end.shape[0]
     bidx = jnp.arange(B, dtype=jnp.int32)
 
     def body(state, _):
-        i, j, st, ref_col = state
+        i, j, st = state
         d = i + j
         p = dirs[jnp.clip(d - 2, 0, dirs.shape[0] - 1), bidx, jnp.clip(i - 1, 0, L - 1)]
         p = jnp.where((i > 0) & (j > 0), p, 0)
@@ -156,10 +162,8 @@ def sw_traceback(dirs, i_end, j_end, L: int, W: int):
         act_f = st == 2
 
         m_diag = act_m & (ch == CH_DIAG)
-        # emit
-        emit_i = jnp.clip(i - 1, 0, L - 1)
-        upd = jnp.where(m_diag, j - 1, ref_col[bidx, emit_i])
-        ref_col = ref_col.at[bidx, emit_i].set(upd)
+        emit_i = jnp.where(m_diag, i - 1, L)  # L = no-emit slot
+        emit_j = j - 1
 
         ni = i - m_diag.astype(jnp.int32) - act_f.astype(jnp.int32)
         nj = j - m_diag.astype(jnp.int32) - act_e.astype(jnp.int32)
@@ -170,13 +174,15 @@ def sw_traceback(dirs, i_end, j_end, L: int, W: int):
         nst = jnp.where(act_e, jnp.where(eop == 1, 0, 1), nst)
         nst = jnp.where(act_f, jnp.where(fop == 1, 0, 2), nst)
         nst = jnp.where((ni <= 0) | (nj <= 0), 3, nst).astype(jnp.int8)
-        return (ni, nj, nst, ref_col), None
+        return (ni, nj, nst), (emit_i.astype(jnp.int32), emit_j.astype(jnp.int32))
 
     i0 = i_end.astype(jnp.int32)
     j0 = j_end.astype(jnp.int32)
     st0 = jnp.where((i0 > 0) & (j0 > 0), 0, 3).astype(jnp.int8)
-    rc0 = jnp.full((B, L), -1, jnp.int32)
-    (i, j, st, ref_col), _ = jax.lax.scan(
-        body, (i0, j0, st0, rc0), None, length=L + W + 2
+    _, (emit_i, emit_j) = jax.lax.scan(
+        body, (i0, j0, st0), None, length=L + W + 2
     )
-    return ref_col
+    # one scatter: (T, B) emissions -> (B, L+1) with dump column L
+    ref_col = jnp.full((B, L + 1), -1, jnp.int32)
+    ref_col = ref_col.at[bidx[None, :], emit_i].set(emit_j)
+    return ref_col[:, :L]

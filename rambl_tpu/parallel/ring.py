@@ -56,21 +56,20 @@ def build_ring_shards(index: SeedIndex, n_shards: int):
         emax = max(emax, hi_e - lo_e)
         slices.append((lo_b, hi_b, lo_e, hi_e))
     bs = np.zeros((n_shards, Pn + 1), np.int32)
-    ek = np.full((n_shards, emax), -1, np.int32)
-    er = np.zeros((n_shards, emax), np.int32)
-    ep = np.zeros((n_shards, emax), np.int32)
+    ent = np.full((n_shards, emax, 4), -1, np.int32)
     for s, (lo_b, hi_b, lo_e, hi_e) in enumerate(slices):
         seg = index.bucket_start[lo_b : hi_b + 1]
         bs[s, : seg.shape[0]] = seg
         bs[s, seg.shape[0] :] = seg[-1] if seg.size else 0  # empty pad buckets
         n = hi_e - lo_e
-        ek[s, :n] = index.entry_key[lo_e:hi_e]
-        er[s, :n] = index.entry_ref[lo_e:hi_e]
-        ep[s, :n] = index.entry_pos[lo_e:hi_e]
-    return dict(bucket_start=bs, entry_key=ek, entry_ref=er, entry_pos=ep)
+        ent[s, :n, 0] = index.entry_key[lo_e:hi_e]
+        ent[s, :n, 1] = index.entry_ref[lo_e:hi_e]
+        ent[s, :n, 2] = index.entry_pos[lo_e:hi_e]
+        ent[s, :n, 3] = 0
+    return dict(bucket_start=bs, entries=ent)
 
 
-def _ring_probe(keys, valid, bucket_start, entry_key, entry_ref, entry_pos,
+def _ring_probe(keys, valid, bucket_start, entries,
                 cfg: PipelineConfig, n_bits: int):
     """Probe all shards by rotating them around the ring.
 
@@ -84,26 +83,21 @@ def _ring_probe(keys, valid, bucket_start, entry_key, entry_ref, entry_pos,
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(step, state):
-        bs, ek, er, ep, ckey = state
+        bs, ent, ckey = state
         shard_id = jax.lax.rem(me - step + n, n)
-        ck = probe(keys, valid, bucket, bs, ek, er, ep, cfg,
-                   bucket_lo=shard_id * Pn)
+        ck = probe(keys, valid, bucket, bs, ent, cfg, bucket_lo=shard_id * Pn)
         ckey = jnp.where(ck != BIGK, ck, ckey)
-        bs, ek, er, ep = jax.lax.ppermute(
-            (bs, ek, er, ep), DATA_AXIS, perm
-        )
-        return (bs, ek, er, ep, ckey)
+        bs, ent = jax.lax.ppermute((bs, ent), DATA_AXIS, perm)
+        return (bs, ent, ckey)
 
     cap = cfg.bucket_cap
     ckey0 = jnp.full(keys.shape + (cap,), BIGK, jnp.int32)
-    state = jax.lax.fori_loop(
-        0, n, body, (bucket_start, entry_key, entry_ref, entry_pos, ckey0)
-    )
-    return state[4]
+    state = jax.lax.fori_loop(0, n, body, (bucket_start, entries, ckey0))
+    return state[2]
 
 
-def ring_align_batch(reads, read_lens, bucket_start, entry_key, entry_ref,
-                     entry_pos, ref_seqs, cfg: PipelineConfig, n_bits: int):
+def ring_align_batch(reads, read_lens, bucket_start, entries,
+                     ref_seqs, cfg: PipelineConfig, n_bits: int):
     """align_batch with ring-sharded seeding. Call inside shard_map.
 
     Bit-identical to pipeline.align.align_batch with the replicated table.
@@ -114,16 +108,13 @@ def ring_align_batch(reads, read_lens, bucket_start, entry_key, entry_ref,
     # locally (1, ...); strip the leading dim
     if bucket_start.ndim == 2:
         bucket_start = bucket_start[0]
-        entry_key = entry_key[0]
-        entry_ref = entry_ref[0]
-        entry_pos = entry_pos[0]
+        entries = entries[0]
 
     rc_reads = revcomp_jax(reads, read_lens)
 
     def cands_for(q):
         keys, valid = query_kmers_jax(q, read_lens, cfg)
-        ckey = _ring_probe(keys, valid, bucket_start, entry_key, entry_ref,
-                           entry_pos, cfg, n_bits)
+        ckey = _ring_probe(keys, valid, bucket_start, entries, cfg, n_bits)
         return select_candidates(ckey, cfg)
 
     return align_from_candidates(

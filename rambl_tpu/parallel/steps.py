@@ -27,8 +27,8 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
                            n_nodes: int, ref_len: int, ring: bool = False):
     """Build the jitted shard_map step.
 
-    step(reads, lens, bucket_start, entry_key, entry_ref, entry_pos,
-         ref_seqs, ref_taxon, anc_path, depth)
+    step(reads, lens, bucket_start, entries, ref_seqs, ref_taxon, anc_path,
+         depth)
       -> (query, ref_col, bins, score  [sharded over 'data'],
           counts, span_diff, read_count [replicated, psum-merged])
 
@@ -37,18 +37,16 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
     shards around the mesh.
     """
 
-    def step(reads, lens, bucket_start, entry_key, entry_ref, entry_pos,
+    def step(reads, lens, bucket_start, entries,
              ref_seqs, ref_taxon, anc_path, depth):
         if ring:
             from rambl_tpu.parallel.ring import ring_align_batch
 
             res = ring_align_batch(
-                reads, lens, bucket_start, entry_key, entry_ref, entry_pos,
-                ref_seqs, cfg, n_bits,
+                reads, lens, bucket_start, entries, ref_seqs, cfg, n_bits,
             )
         else:
-            table = SeedTable(bucket_start, entry_key, entry_ref, entry_pos,
-                              n_bits)
+            table = SeedTable(bucket_start, entries, n_bits)
             res = align_batch(reads, lens, table, ref_seqs, cfg)
         bins = bin_batch(res, ref_taxon, anc_path, depth, cfg)
         counts, span_diff = node_pileup(
@@ -69,7 +67,7 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
     table_spec = data if ring else repl
     in_specs = (
         data2, data,                      # reads, lens
-        table_spec, table_spec, table_spec, table_spec,  # seed table arrays
+        table_spec, table_spec,           # seed table: bucket_start, entries
         repl, repl, repl, repl,           # ref_seqs, ref_taxon, anc, depth
     )
     out_specs = (data2, data2, data, data, repl, repl, repl)

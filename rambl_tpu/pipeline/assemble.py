@@ -54,10 +54,10 @@ _BIG = 1 << 30
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_bits"))
-def _align_bin_batch(reads, lens, bucket_start, entry_key, entry_ref,
-                     entry_pos, ref_seqs, ref_taxon, anc_path, depth,
+def _align_bin_batch(reads, lens, bucket_start, entries,
+                     ref_seqs, ref_taxon, anc_path, depth,
                      cfg: PipelineConfig, n_bits: int):
-    table = SeedTable(bucket_start, entry_key, entry_ref, entry_pos, n_bits)
+    table = SeedTable(bucket_start, entries, n_bits)
     res = align_batch(reads, lens, table, ref_seqs, cfg)
     bins = bin_batch(res, ref_taxon, anc_path, depth, cfg)
     return res.query, res.ref_col, bins, res.score, res.ref, res.strand
@@ -151,9 +151,8 @@ def _stream_align(reads, lens, index, ref_seqs, tables, cfg):
     for i in range(nb):
         sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
         q, rc, b, sc, rf, st = _align_bin_batch(
-            padded[sl], plens[sl], table.bucket_start, table.entry_key,
-            table.entry_ref, table.entry_pos, ref_seqs_d, rt, anc, dep,
-            cfg, index.n_bits,
+            padded[sl], plens[sl], table.bucket_start, table.entries,
+            ref_seqs_d, rt, anc, dep, cfg, index.n_bits,
         )
         counts, span_diff, read_count = _pileup_accum(
             q, rc, b, counts, span_diff, read_count, cfg, n_nodes, ref_len

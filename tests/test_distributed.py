@@ -58,9 +58,8 @@ def test_sharded_step_matches_single_device(small_ds, small_index, small_tax, cf
     reads = put_sharded(small_ds.reads[:B], mesh)
     lens = put_sharded(small_ds.read_lens[:B], mesh)
     args = [put_replicated(np.asarray(x), mesh) for x in
-            (table.bucket_start, table.entry_key, table.entry_ref,
-             table.entry_pos, small_ds.ref_seqs, small_tax.ref_taxon,
-             small_tax.anc_path, small_tax.depth)]
+            (table.bucket_start, table.entries, small_ds.ref_seqs,
+             small_tax.ref_taxon, small_tax.anc_path, small_tax.depth)]
     q, rc, bins, score, counts, span, rcount = step(reads, lens, *args)
 
     np.testing.assert_array_equal(np.asarray(q), np.asarray(res1.query))
@@ -83,7 +82,7 @@ def test_ring_sharded_index_matches_replicated(small_ds, small_index, small_tax,
     reads = put_sharded(small_ds.reads[:B], mesh)
     lens = put_sharded(small_ds.read_lens[:B], mesh)
     shard_args = [put_sharded(shards[k], mesh) for k in
-                  ("bucket_start", "entry_key", "entry_ref", "entry_pos")]
+                  ("bucket_start", "entries")]
     repl_args = [put_replicated(np.asarray(x), mesh) for x in
                  (small_ds.ref_seqs, small_tax.ref_taxon,
                   small_tax.anc_path, small_tax.depth)]
@@ -105,7 +104,6 @@ def test_ring_shards_roundtrip(small_index):
     shards = build_ring_shards(small_index, 8)
     total = 0
     for s in range(8):
-        n = int((shards["entry_key"][s] >= 0).sum())
         # keys are >= 0 by construction; padding is -1
-        total += n
+        total += int((shards["entries"][s, :, 0] >= 0).sum())
     assert total == small_index.n_entries
