@@ -50,6 +50,8 @@ class PipelineConfig:
 
     # ---- alignment ----
     scoring: ScoringParams = dataclasses.field(default_factory=ScoringParams)
+    sw_impl: str = "auto"            # "auto" | "pallas" | "scan": score-pass
+                                     # kernel (auto = pallas on TPU backends)
     min_score: int = 40              # below this a read is unaligned (bin -1)
     max_gap_per_row: int = 8         # traceback: max consecutive ref-gap moves
 

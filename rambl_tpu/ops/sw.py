@@ -179,8 +179,26 @@ def sw_traceback(dirs, i_end, j_end, L: int, W: int):
     i0 = i_end.astype(jnp.int32)
     j0 = j_end.astype(jnp.int32)
     st0 = jnp.where((i0 > 0) & (j0 > 0), 0, 3).astype(jnp.int8)
-    _, (emit_i, emit_j) = jax.lax.scan(
-        body, (i0, j0, st0), None, length=L + W + 2
+
+    # while_loop with early exit: typical paths are ~L+gaps steps, far below
+    # the worst-case L+W bound, and the per-step dirs gather is the cost.
+    T = L + W + 2
+    ei0 = jnp.full((T, B), L, jnp.int32)   # L = no-emit slot
+    ej0 = jnp.zeros((T, B), jnp.int32)
+
+    def cond(state):
+        t, i, j, st, _, _ = state
+        return (t < T) & jnp.any(st != 3)
+
+    def wbody(state):
+        t, i, j, st, ei, ej = state
+        (ni, nj, nst), (emit_i, emit_j) = body((i, j, st), None)
+        ei = jax.lax.dynamic_update_index_in_dim(ei, emit_i, t, 0)
+        ej = jax.lax.dynamic_update_index_in_dim(ej, emit_j, t, 0)
+        return (t + 1, ni, nj, nst, ei, ej)
+
+    _, _, _, _, emit_i, emit_j = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), i0, j0, st0, ei0, ej0)
     )
     # one scatter: (T, B) emissions -> (B, L+1) with dump column L
     ref_col = jnp.full((B, L + 1), -1, jnp.int32)

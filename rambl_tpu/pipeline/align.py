@@ -90,10 +90,23 @@ def align_from_candidates(
         axis=1,
     )                                                           # (B, 2C, L)
 
-    # pass 1: score all pairs
-    score, _, _ = sw_score(
-        q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
+    # pass 1: score all pairs (Pallas wavefront kernel on TPU; lax.scan
+    # fallback elsewhere - bit-identical, tests/test_sw_pallas.py)
+    use_pallas = cfg.sw_impl == "pallas" or (
+        cfg.sw_impl == "auto"
+        and jax.default_backend() not in ("cpu",)
+        and (B * 2 * C) % 128 == 0
     )
+    if use_pallas:
+        from rambl_tpu.ops.sw_pallas import sw_score_pallas
+
+        score, _, _ = sw_score_pallas(
+            q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
+        )
+    else:
+        score, _, _ = sw_score(
+            q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
+        )
     score = score.reshape(B, 2 * C)
     score = jnp.where(cval, score, 0)
 
