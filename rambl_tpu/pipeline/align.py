@@ -100,14 +100,16 @@ def align_from_candidates(
     if use_pallas:
         from rambl_tpu.ops.sw_pallas import sw_score_pallas
 
-        score, _, _ = sw_score_pallas(
+        score, p_ie, p_je = sw_score_pallas(
             q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
         )
     else:
-        score, _, _ = sw_score(
+        score, p_ie, p_je = sw_score(
             q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
         )
     score = score.reshape(B, 2 * C)
+    p_ie = p_ie.reshape(B, 2 * C)
+    p_je = p_je.reshape(B, 2 * C)
     score = jnp.where(cval, score, 0)
 
     # best pair: max score, tie -> lowest pair index
@@ -121,11 +123,59 @@ def align_from_candidates(
     bref = cref[bidx, best_pair]
     bws = cws[bidx, best_pair]
 
-    # pass 2: directions + traceback for the best pair only
+    # pass 2: per-query-position window columns for the best pair.
+    # Most alignments are GAPLESS, and a gapless optimum is provably what the
+    # locked traceback follows (diag is preferred on ties, and every cell on a
+    # score-tight gapless path satisfies H == Hdiag + sub), so their columns
+    # come straight from the end cell: walk the diagonal back until the suffix
+    # substitution sum hits the best score. Only reads with no such walk carry
+    # gaps and go through the direction-matrix traceback, compacted to a
+    # capped sub-batch (full-batch fallback keeps exactness on cap overflow).
     qb = jnp.where(strand[:, None] == 1, rc_reads, reads)
     wb = wins[bidx, best_pair]
-    _, ie, je, dirs = sw_align(qb, wb, sc)
-    rc_local = sw_traceback(dirs, ie, je, L, W)
+    ie = p_ie[bidx, best_pair]
+    je = p_je[bidx, best_pair]
+
+    kk = jnp.arange(L, dtype=jnp.int32)
+    kmax = jnp.minimum(ie, je)                              # (B,)
+    qi = jnp.take_along_axis(qb, jnp.clip(ie[:, None] - 1 - kk, 0, L - 1), axis=1)
+    wj = jnp.take_along_axis(wb, jnp.clip(je[:, None] - 1 - kk, 0, W - 1), axis=1)
+    sub = jnp.where(
+        (qi == wj) & (qi < 4) & (wj < 4), sc.match, sc.mismatch
+    ).astype(jnp.int32)
+    sub = jnp.where(kk[None, :] < kmax[:, None], sub, sc.neg_inf)
+    S = jnp.cumsum(sub, axis=1)                             # suffix sums
+    hit = (S == best_score[:, None]) & (kk[None, :] < kmax[:, None])
+    gapless = hit.any(axis=1) & (best_score > 0)
+    n = jnp.argmax(hit, axis=1).astype(jnp.int32) + 1       # path length
+    in_span = (kk[None, :] >= (ie - n)[:, None]) & (kk[None, :] <= (ie - 1)[:, None])
+    rc_analytic = jnp.where(
+        in_span & gapless[:, None], (je - ie)[:, None] + kk[None, :], -1
+    )
+
+    needs_tb = (best_score > 0) & ~gapless
+    cap = max(128, B // 8)
+    order = jnp.argsort(jnp.where(needs_tb, 0, 1) * B + bidx)
+    sel = order[:cap]
+
+    def compact_tb(_):
+        q_s = qb[sel]
+        w_s = wb[sel]
+        _, ie_s, je_s, dirs_s = sw_align(q_s, w_s, sc)
+        rc_s = sw_traceback(dirs_s, ie_s, je_s, L, W)
+        upd = jnp.where(needs_tb[sel, None], rc_s, rc_analytic[sel])
+        return rc_analytic.at[sel].set(upd)
+
+    def full_tb(_):
+        _, ie_f, je_f, dirs_f = sw_align(qb, wb, sc)
+        rc_f = sw_traceback(dirs_f, ie_f, je_f, L, W)
+        return jnp.where(needs_tb[:, None], rc_f, rc_analytic)
+
+    if cap >= B:
+        rc_local = full_tb(0)
+    else:
+        rc_local = jax.lax.cond(needs_tb.sum() <= cap, compact_tb, full_tb, 0)
+
     gcol = jnp.where(rc_local >= 0, rc_local + bws[:, None], -1)
     gcol = jnp.where((gcol >= 0) & (gcol < ref_seqs.shape[1]), gcol, -1)
 
