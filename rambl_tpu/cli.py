@@ -112,46 +112,59 @@ def cmd_assemble(args) -> int:
     refs = read_fasta(args.reference)  # names needed for taxonomy mapping
     ref_names = [n for n, _ in refs]
     ref_seqs, ref_lens = encode_batch([s for _, s in refs], cfg.ref_len_max)
-    reads, read_lens = load_fastq_codes(args.reads, cfg.read_len_max)
+    samples = [load_fastq_codes(p, cfg.read_len_max) for p in args.reads]
     tables = _load_taxonomy(args.taxonomy, ref_names)
 
     metrics = MetricsLogger(args.metrics)
-    metrics.log("load", refs=len(refs), reads=int(reads.shape[0]),
+    metrics.log("load", refs=len(refs), samples=len(samples),
+                reads=sum(int(r.shape[0]) for r, _ in samples),
                 native_loader=native_available(),
                 preset=args.preset or "default")
-
-    if args.oracle:
-        from rambl_tpu.oracle.pipeline import assemble as run
-    else:
-        from rambl_tpu.pipeline.assemble import assemble_jax as run
 
     if args.profile:
         import jax
 
         jax.profiler.start_trace(args.profile)
-    result = run(reads, read_lens, ref_seqs, ref_lens, tables, cfg)
+    if args.oracle:
+        from rambl_tpu.oracle.pipeline import assemble
+
+        results = [assemble(r, l, ref_seqs, ref_lens, tables, cfg)
+                   for r, l in samples]
+    elif len(samples) > 1:
+        from rambl_tpu.pipeline.assemble import assemble_cohort
+
+        results = assemble_cohort(samples, ref_seqs, ref_lens, tables, cfg)
+    else:
+        from rambl_tpu.pipeline.assemble import assemble_jax
+
+        results = [assemble_jax(samples[0][0], samples[0][1], ref_seqs,
+                                ref_lens, tables, cfg)]
     if args.profile:
         import jax
 
         jax.profiler.stop_trace()
 
-    for s in result.round_stats:
-        metrics.log("round", **s)
-    genes = result.genes
-    full = result.full_length(cfg)
-    metrics.log("done", genes=len(genes), full_length=len(full),
-                rounds=result.n_rounds, converged=result.converged)
-
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    write_fasta(args.out, [
-        (f"gene{i}|reads={g.n_reads}|taxon={g.taxon}|len={g.seq.shape[0]}",
-         decode_seq(g.seq))
-        for i, g in enumerate(genes)
-    ])
-    if args.checkpoint:
-        save_checkpoint(args.checkpoint, cfg, genes, result.n_rounds,
-                        result.round_stats)
-    print(f"assembled {len(genes)} genes ({len(full)} full-length) -> {args.out}")
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+    for si, result in enumerate(results):
+        for s in result.round_stats:
+            metrics.log("round", sample=si, **s)
+        genes = result.genes
+        full = result.full_length(cfg)
+        metrics.log("done", sample=si, genes=len(genes),
+                    full_length=len(full), rounds=result.n_rounds,
+                    converged=result.converged)
+        out = args.out if len(results) == 1 else (
+            args.out + f".sample{si}.fasta")
+        write_fasta(out, [
+            (f"gene{i}|reads={g.n_reads}|taxon={g.taxon}|len={g.seq.shape[0]}",
+             decode_seq(g.seq))
+            for i, g in enumerate(genes)
+        ])
+        if args.checkpoint:
+            ck = args.checkpoint if len(results) == 1 else (
+                args.checkpoint + f".sample{si}")
+            save_checkpoint(ck, cfg, genes, result.n_rounds, result.round_stats)
+        print(f"sample {si}: {len(genes)} genes ({len(full)} full-length) -> {out}")
     return 0
 
 
@@ -175,7 +188,8 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_simulate)
 
     a = sub.add_parser("assemble", help="assemble full-length 16S genes")
-    a.add_argument("--reads", required=True, help="FASTQ[.gz]")
+    a.add_argument("--reads", required=True, nargs="+",
+                   help="FASTQ[.gz]; several = cohort with shared index")
     a.add_argument("--reference", required=True, help="reference FASTA[.gz]")
     a.add_argument("--taxonomy", help="taxonomy TSV (name<TAB>lineage;...)")
     a.add_argument("--out", required=True, help="output FASTA")

@@ -316,7 +316,7 @@ def assemble(
         reads, read_lens, ref_seqs, ref_lens, tables, cfg, round_idx=0
     )
     round_stats.append(stats)
-    prev_key = tuple(sorted(g.key() for g in genes))
+    seen = {tuple(sorted(g.key() for g in genes))}
     converged = False
     for it in range(1, cfg.max_assembly_iters):
         if not genes:
@@ -327,10 +327,12 @@ def assemble(
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))
-        if new_key == prev_key:
+        # fixpoint OR cycle: refinement is deterministic, so revisiting any
+        # previous panel means the loop will repeat forever - stop
+        if new_key in seen:
             converged = True
             break
-        prev_key = new_key
+        seen.add(new_key)
     return AssemblyResult(
         genes=genes,
         n_rounds=len(round_stats),

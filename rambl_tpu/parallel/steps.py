@@ -77,3 +77,38 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
             check_vma=False,
         )
     )
+
+
+def make_cluster_step(mesh, cfg: PipelineConfig):
+    """Leaf-sharded round-0 clustering: the EP analogue (SURVEY.md
+    section 2.3 - per-taxon bins are the 'experts', sharded over the mesh for
+    the per-bin DP-means/consensus phase; read tensors are replicated).
+
+    step(query, ref_col, bins, counts, span_diff, read_count, leaves,
+         anc_path, depth) with `leaves` (NL,) sharded over 'data' (NL must
+    divide by mesh size; pad with leaf 0 and ignore padded outputs).
+    Outputs (ConsensusOut, kact, n_mem) sharded over their leaf dim.
+    """
+    from rambl_tpu.pipeline.assemble import cluster_round0_core
+
+    def step(query, ref_col, bins, counts, span_diff, read_count, leaves,
+             anc_path, depth):
+        return cluster_round0_core(
+            query, ref_col, bins, counts, span_diff, read_count, leaves,
+            anc_path, depth, cfg,
+        )
+
+    from rambl_tpu.pipeline.consensus import ConsensusOut
+
+    repl = P()
+    data = P(DATA_AXIS)
+    in_specs = (repl, repl, repl, repl, repl, repl, data, repl, repl)
+    out_specs = (
+        ConsensusOut(called=data, emit=data, n_reads=data),
+        data,                # kact
+        data,                # n_mem
+    )
+    return jax.jit(
+        jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    )

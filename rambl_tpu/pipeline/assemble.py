@@ -73,10 +73,12 @@ def _pileup_accum(query, ref_col, bins, counts, span_diff, read_count,
     return counts + c, span_diff + s, read_count + rc
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _cluster_consensus_round0(query, ref_col, bins, counts, span_diff,
-                              read_count, leaves, anc_path, depth,
-                              cfg: PipelineConfig):
+def cluster_round0_core(query, ref_col, bins, counts, span_diff,
+                        read_count, leaves, anc_path, depth,
+                        cfg: PipelineConfig):
+    """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
+    used single-device and leaf-sharded under shard_map - the EP analogue of
+    SURVEY.md section 2.3: bins are the 'experts')."""
     leaf_counts, leaf_span = leaf_pileup(counts, span_diff, leaves, anc_path, depth)
     pm = polymorphic_mask(
         leaf_counts, cfg.min_coverage, cfg.poly_min_minor_count,
@@ -103,6 +105,11 @@ def _cluster_consensus_round0(query, ref_col, bins, counts, span_diff,
 
     n_mem = _chain_read_count(read_count, leaves, anc_path, depth)
     return cons, dp.kact, n_mem
+
+
+_cluster_consensus_round0 = functools.partial(jax.jit, static_argnames=("cfg",))(
+    cluster_round0_core
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -203,9 +210,14 @@ def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
 
 
 def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
-                       round_idx=0, orig_taxon_of_node=None):
-    """Device version of oracle.pipeline.assemble_round."""
-    index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
+                       round_idx=0, orig_taxon_of_node=None, index=None):
+    """Device version of oracle.pipeline.assemble_round.
+
+    `index` lets cohort runs share one prebuilt Greengenes index across
+    samples (BASELINE.json config 4).
+    """
+    if index is None:
+        index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
     rec, counts, span_diff, read_count = _stream_align(
         reads, lens, index, ref_seqs, tables, cfg
     )
@@ -292,8 +304,25 @@ def refine_round_jax(reads, lens, genes: List[Gene], orig_parent, orig_depth,
     return out, stats
 
 
+def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
+                    cfg: PipelineConfig):
+    """Multi-sample cohort assembly with a SHARED reference index
+    (BASELINE.json config 4: 'multi-sample cohort with shared sharded index').
+
+    samples: list of (reads, lens). The round-0 Greengenes index is built once
+    and reused; each sample then runs its own refinement loop (panel indexes
+    are per-sample). Returns one AssemblyResult per sample.
+    """
+    shared_index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
+    return [
+        assemble_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
+                     shared_index=shared_index)
+        for reads, lens in samples
+    ]
+
+
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
-                 cfg: PipelineConfig):
+                 cfg: PipelineConfig, shared_index=None):
     """Device version of oracle.pipeline.assemble (same convergence loop)."""
     from rambl_tpu.oracle.pipeline import AssemblyResult
 
@@ -305,10 +334,11 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     )
     round_stats = []
     genes, stats = assemble_round_jax(
-        reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0
+        reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
+        index=shared_index,
     )
     round_stats.append(stats)
-    prev_key = tuple(sorted(g.key() for g in genes))
+    seen = {tuple(sorted(g.key() for g in genes))}
     converged = False
     for it in range(1, cfg.max_assembly_iters):
         if not genes:
@@ -319,9 +349,10 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))
-        if new_key == prev_key:
+        # fixpoint OR cycle (deterministic refinement): stop on any repeat
+        if new_key in seen:
             converged = True
             break
-        prev_key = new_key
+        seen.add(new_key)
     return AssemblyResult(genes=genes, n_rounds=len(round_stats),
                           converged=converged, round_stats=round_stats)
