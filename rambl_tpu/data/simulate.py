@@ -30,6 +30,8 @@ _REGIONS = [  # (length, per-branch substitution rate)
 
 RANKS = ["domain", "phylum", "class", "order", "family", "genus", "species"]
 
+_COMP_TABLE = np.array([3, 2, 1, 0, 4], dtype=np.int8)  # A<->T, C<->G, N->N
+
 
 @dataclasses.dataclass
 class SimulatedDataset:
@@ -162,37 +164,48 @@ def simulate_dataset(
         ab = np.ones(n_refs)
     ab = ab / ab.sum()
 
-    # --- reads ---
+    # --- reads (vectorized; only the rare indel reads take a python loop) ---
     true_ref = rng.choice(n_refs, size=n_reads, p=ab).astype(np.int32)
     true_strand = rng.integers(0, 2, size=n_reads).astype(np.int8)
+    span = np.maximum(ref_lens[true_ref] - read_len, 1)
+    true_pos = (rng.random(n_reads) * span).astype(np.int32)
+    cols = true_pos[:, None] + np.arange(read_len, dtype=np.int32)[None, :]
+    frags = ref_seqs[true_ref[:, None], cols].copy()        # (n_reads, read_len)
+    # substitution errors
+    emask = rng.random(frags.shape) < sub_error
+    shift = rng.integers(1, 4, size=frags.shape).astype(np.int8)
+    frags = np.where(emask, (frags + shift) % 4, frags)
+    # indel errors: at most one short indel per read
+    has_indel = rng.random(n_reads) < indel_error * read_len
+    lens = np.full((n_reads,), read_len, np.int32)
+    for i in np.nonzero(has_indel)[0]:
+        frag = frags[i]
+        ip = int(rng.integers(1, read_len - 2))
+        if rng.random() < 0.5:  # deletion of 1 base
+            frag = np.concatenate([frag[:ip], frag[ip + 1 :]])
+            lens[i] = read_len - 1
+            frags[i, : read_len - 1] = frag
+            frags[i, read_len - 1] = 4
+        else:  # insertion of 1 base
+            frags[i] = np.concatenate(
+                [frag[:ip], rng.integers(0, 4, size=1).astype(np.int8),
+                 frag[: read_len]]
+            )[:read_len]
+    # reverse complement within each read's own length
+    comp = _COMP_TABLE[frags]
+    idx = lens[:, None] - 1 - np.arange(read_len, dtype=np.int32)[None, :]
+    rc = np.take_along_axis(comp, np.clip(idx, 0, read_len - 1), axis=1)
+    rc = np.where(idx >= 0, rc, np.int8(4))
+    frags = np.where(true_strand[:, None] == 1, rc, frags)
+
     reads = np.full((n_reads, read_len_max), 4, dtype=np.int8)
-    read_lens = np.full((n_reads,), 0, dtype=np.int32)
-    true_pos = np.zeros((n_reads,), dtype=np.int32)
-    read_names, read_quals = [], []
-    for i in range(n_reads):
-        r = int(true_ref[i])
-        L = int(ref_lens[r])
-        pos = int(rng.integers(0, max(L - read_len, 1)))
-        true_pos[i] = pos
-        frag = ref_seqs[r, pos : pos + read_len].copy()
-        # substitution errors
-        emask = rng.random(frag.shape[0]) < sub_error
-        frag[emask] = (frag[emask] + rng.integers(1, 4, size=frag.shape[0])[emask]) % 4
-        # indel errors: at most one short indel per read (rate per base)
-        if rng.random() < indel_error * frag.shape[0]:
-            ip = int(rng.integers(1, frag.shape[0] - 2))
-            if rng.random() < 0.5:  # deletion of 1 base
-                frag = np.concatenate([frag[:ip], frag[ip + 1 :]])
-            else:  # insertion of 1 base
-                frag = np.concatenate(
-                    [frag[:ip], rng.integers(0, 4, size=1).astype(np.int8), frag[:read_len]]
-                )[:read_len]
-        if true_strand[i]:
-            frag = revcomp_codes(frag)
-        reads[i, : frag.shape[0]] = frag
-        read_lens[i] = frag.shape[0]
-        read_names.append(f"read{i}")
-        read_quals.append("I" * int(frag.shape[0]))
+    reads[:, :read_len] = frags
+    # pad past each read's own length
+    pastlen = np.arange(read_len_max, dtype=np.int32)[None, :] >= lens[:, None]
+    reads = np.where(pastlen, np.int8(4), reads)
+    read_lens = lens
+    read_names = [f"read{i}" for i in range(n_reads)]
+    read_quals = ["I" * int(read_lens[i]) for i in range(n_reads)]
 
     return SimulatedDataset(
         ref_names=ref_names,

@@ -154,6 +154,9 @@ def _stream_align(reads, lens, index, ref_seqs, tables, cfg):
     span_diff = jnp.zeros((n_nodes, ref_len + 1), jnp.int32)
     read_count = jnp.zeros((n_nodes,), jnp.int32)
 
+    # per-read outputs stay ON DEVICE (no per-batch host fetch - the host
+    # round trip would serialize the stream); downstream clustering consumes
+    # them on device, only `bins` is fetched once for gene bookkeeping
     outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
     for i in range(nb):
         sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
@@ -166,8 +169,11 @@ def _stream_align(reads, lens, index, ref_seqs, tables, cfg):
         )
         for k, v in zip(("query", "ref_col", "bins", "score", "ref", "strand"),
                         (q, rc, b, sc, rf, st)):
-            outs[k].append(np.asarray(v))
-    merged = {k: np.concatenate(v)[:B] for k, v in outs.items()}
+            outs[k].append(v)
+    merged = {
+        k: (jnp.concatenate(v)[:B] if nb > 1 else v[0][:B])
+        for k, v in outs.items()
+    }
     return merged, counts, span_diff, read_count
 
 
