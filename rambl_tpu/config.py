@@ -75,11 +75,15 @@ class PipelineConfig:
     poly_min_minor_count: int = 4
     dp_max_iters: int = 16
     min_cluster_reads: int = 3       # clusters below this are not assembled
-    refine_min_excl: int = 8         # exclusive support to keep a non-primary
-                                     # gene during refinement pruning
 
     # ---- consensus / iteration ----
     min_coverage: int = 2            # min pileup depth to call a base
+    # a cluster/exclusive population may override the backbone at a
+    # polymorphic column only with >= num/den of the backbone's depth there
+    # (weak error-driven "exclusive" sets must not rewrite columns; variants
+    # below this within-bin abundance are not separated)
+    vote_min_frac_num: int = 1
+    vote_min_frac_den: int = 4
     max_assembly_iters: int = 5
     max_genes: int = 64              # max consensus sequences carried per round
     full_len_min: int = 1200         # min length to report a gene "full-length"

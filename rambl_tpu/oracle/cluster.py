@@ -45,8 +45,15 @@ def bin_pileup(
     return counts
 
 
-def polymorphic_cols(counts: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
-    """First max_poly_cols columns (ascending) that are polymorphic."""
+def polymorphic_cols(counts: np.ndarray, cfg: PipelineConfig,
+                     cap: bool = True) -> np.ndarray:
+    """Polymorphic columns, ascending.
+
+    cap=True limits to the first max_poly_cols (the static feature-matrix
+    width for DP-means); consensus masks use cap=False - capping there would
+    let early contamination columns crowd out real discriminating columns
+    later in the gene.
+    """
     tot = counts.sum(axis=1)
     top = counts.max(axis=1)
     minor = tot - top
@@ -57,7 +64,9 @@ def polymorphic_cols(counts: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
         & (minor >= cfg.poly_min_minor_count)
         & (frac >= cfg.poly_min_minor_frac)
     )
-    cols = np.nonzero(is_poly)[0][: cfg.max_poly_cols]
+    cols = np.nonzero(is_poly)[0]
+    if cap:
+        cols = cols[: cfg.max_poly_cols]
     return cols.astype(np.int32)
 
 
@@ -108,9 +117,19 @@ def _diffs(feat: np.ndarray, centers: np.ndarray):
     return diff.astype(np.int64), cov.sum(axis=1).astype(np.int64)
 
 
-def dp_means(feat: np.ndarray, cfg: PipelineConfig):
-    """Deterministic DP-means. Returns (assign (N,), centers (K, P), K)."""
+def dp_means(feat: np.ndarray, cfg: PipelineConfig,
+             can_seed: np.ndarray | None = None):
+    """Deterministic DP-means. Returns (assign (N,), centers (K, P), K).
+
+    can_seed (N,) bool restricts which reads may SEED or SUPPORT a spawn
+    (assignment itself is unrestricted). The pipeline passes the
+    leaf-exclusive mask: LCA-shared reads - including cross-species
+    contamination shared down the tree - must not found variants of a bin
+    they do not map best into.
+    """
     N, P = feat.shape
+    if can_seed is None:
+        can_seed = np.ones((N,), bool)
     lam_n, lam_d = cfg.dp_lambda_num, cfg.dp_lambda_den
     fallback = np.zeros((P,), dtype=np.int8)
     # bin consensus as cluster-0 init
@@ -127,7 +146,7 @@ def dp_means(feat: np.ndarray, cfg: PipelineConfig):
         diff, ncov = _diffs(feat, cen)                    # int
         new_assign = np.argmin(diff, axis=1).astype(np.int32)  # ties -> lowest
         dmin = diff[np.arange(N), new_assign]
-        orphans = dmin * lam_d > lam_n * ncov             # dist > lambda
+        orphans = (dmin * lam_d > lam_n * ncov) & can_seed  # dist > lambda
         spawned = False
         if int(orphans.sum()) >= cfg.dp_spawn_min_orphans and K < cfg.max_clusters_per_bin:
             oidx = np.nonzero(orphans)[0]

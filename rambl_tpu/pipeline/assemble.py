@@ -36,10 +36,7 @@ from rambl_tpu.pipeline.cluster import (
     member_table,
     sorted_col_base,
 )
-from rambl_tpu.pipeline.consensus import (
-    cluster_consensus_leaves,
-    refine_consensus,
-)
+from rambl_tpu.pipeline.consensus import cluster_consensus_leaves
 from rambl_tpu.pipeline.pileup import (
     leaf_pileup,
     node_pileup,
@@ -80,11 +77,13 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     used single-device and leaf-sharded under shard_map - the EP analogue of
     SURVEY.md section 2.3: bins are the 'experts')."""
     leaf_counts, leaf_span = leaf_pileup(counts, span_diff, leaves, anc_path, depth)
+    ref_len = counts.shape[1]
+    # consensus mask is UNCAPPED (capping would crowd out late discriminating
+    # columns); the feature columns below take the first max_poly_cols of it
     pm = polymorphic_mask(
         leaf_counts, cfg.min_coverage, cfg.poly_min_minor_count,
-        cfg.poly_min_minor_frac, cfg.max_poly_cols,
+        cfg.poly_min_minor_frac, ref_len,
     )
-    ref_len = counts.shape[1]
     cols = jnp.arange(ref_len, dtype=jnp.int32)
     key = jnp.where(pm, cols[None, :], _BIG)
     pol_cols = -jax.lax.top_k(-key, cfg.max_poly_cols)[0]     # ascending
@@ -94,7 +93,8 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     midx, mvalid = member_table(bins, leaves, anc_path, depth, cfg.max_bin_reads)
     cs, bs = sorted_col_base(query, ref_col)
     feat = leaf_features(cs, bs, midx, mvalid, pol_cols, pol_valid)
-    dp = dp_means_leaves(feat, cfg)
+    can_seed = (bins[midx] == leaves[:, None]) & mvalid  # leaf-exclusive only
+    dp = dp_means_leaves(feat, can_seed, cfg)
 
     qm = query[midx]
     rcm = ref_col[midx]
@@ -110,15 +110,6 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
 _cluster_consensus_round0 = functools.partial(jax.jit, static_argnames=("cfg",))(
     cluster_round0_core
 )
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _refine_core(counts, span_diff, read_count, gene_leaves, gene_group,
-                 group_taxon, anc_path, depth, cfg: PipelineConfig):
-    return refine_consensus(
-        counts, span_diff, read_count, gene_leaves, gene_group, group_taxon,
-        anc_path, depth, cfg,
-    )
 
 
 # --------------------------------------------------------------------------
@@ -249,67 +240,6 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     return genes, stats
 
 
-def refine_round_jax(reads, lens, genes: List[Gene], orig_parent, orig_depth,
-                     cfg, ref_len_max: int, round_idx: int):
-    """Device version of oracle.pipeline.refine_round."""
-    from rambl_tpu.oracle.pipeline import pad_panel, panel_taxonomy
-
-    pseqs, plens = pad_panel(genes, ref_len_max)
-    ptab, orig_of = panel_taxonomy(genes, orig_parent, orig_depth)
-    index = build_seed_index(pseqs, plens, k=cfg.k)
-    rec, counts, span_diff, read_count = _stream_align(
-        reads, lens, index, pseqs, ptab, cfg
-    )
-
-    taxa = sorted({g.taxon for g in genes})
-    tax_of = {t: i for i, t in enumerate(taxa)}
-    gene_group = np.array([tax_of[g.taxon] for g in genes], np.int32)
-    group_taxon = np.array(taxa, np.int32)
-    gene_leaves = np.asarray(ptab.ref_taxon)
-
-    cons, n_mem, n_excl = _refine_core(
-        counts, span_diff, read_count, jnp.asarray(gene_leaves),
-        jnp.asarray(gene_group), jnp.asarray(group_taxon),
-        jnp.asarray(ptab.anc_path), jnp.asarray(ptab.depth), cfg,
-    )
-
-    called = np.asarray(cons.called)
-    emit = np.asarray(cons.emit)
-    n_mem = np.asarray(n_mem)
-    n_excl = np.asarray(n_excl)
-    refined: List[Gene] = []
-    for gi in range(len(genes)):
-        if n_mem[gi] < cfg.min_cluster_reads:
-            continue
-        seq = called[gi][emit[gi]].astype(np.int8)
-        if seq.shape[0] == 0:
-            continue
-        refined.append(Gene(seq=seq, n_reads=int(n_mem[gi]),
-                            leaf=int(gene_leaves[gi]), cluster=int(n_excl[gi]),
-                            round_born=round_idx, taxon=genes[gi].taxon))
-
-    # prune within provenance groups (identical to oracle.refine_round)
-    bytax = {}
-    for g in refined:
-        bytax.setdefault(g.taxon, []).append(g)
-    kept: List[Gene] = []
-    for tax in sorted(bytax):
-        grp = sorted(bytax[tax], key=lambda g: (-g.cluster, -g.n_reads, g.leaf))
-        kept.append(grp[0])
-        kept.extend(g for g in grp[1:] if g.cluster >= cfg.refine_min_excl)
-    bykey = {}
-    for g in kept:
-        kk = g.key()
-        if kk not in bykey or g.n_reads > bykey[kk].n_reads:
-            bykey[kk] = g
-    out = list(bykey.values())
-    out.sort(key=lambda g: (-g.n_reads, g.taxon, g.leaf))
-    out = out[: cfg.max_genes]
-    stats = dict(round=round_idx, aligned=int((rec["bins"] >= 0).sum()),
-                 n_leaves=len(genes), genes=len(out))
-    return out, stats
-
-
 def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
                     cfg: PipelineConfig):
     """Multi-sample cohort assembly with a SHARED reference index
@@ -329,15 +259,15 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
 
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
                  cfg: PipelineConfig, shared_index=None):
-    """Device version of oracle.pipeline.assemble (same convergence loop)."""
-    from rambl_tpu.oracle.pipeline import AssemblyResult
-
-    orig_depth = tables.depth
-    orig_parent = np.array(
-        [int(tables.anc_path[n, max(int(orig_depth[n]) - 1, 0)])
-         for n in range(tables.n_nodes)],
-        dtype=np.int32,
+    """Device version of oracle.pipeline.assemble (same convergence loop:
+    every round is a full discovery round; the panel maps genes back to
+    their provenance taxa - see oracle.pipeline.panel_tables)."""
+    from rambl_tpu.oracle.pipeline import (
+        AssemblyResult,
+        pad_panel,
+        panel_tables,
     )
+
     round_stats = []
     genes, stats = assemble_round_jax(
         reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
@@ -349,13 +279,14 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     for it in range(1, cfg.max_assembly_iters):
         if not genes:
             break
-        genes, stats = refine_round_jax(
-            reads, lens, genes, orig_parent, orig_depth, cfg,
-            ref_len_max=ref_seqs.shape[1], round_idx=it,
+        pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
+        ptab = panel_tables(genes, tables)
+        genes, stats = assemble_round_jax(
+            reads, lens, pseqs, plens, ptab, cfg, round_idx=it,
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))
-        # fixpoint OR cycle (deterministic refinement): stop on any repeat
+        # fixpoint OR cycle (deterministic rounds): stop on any repeat
         if new_key in seen:
             converged = True
             break

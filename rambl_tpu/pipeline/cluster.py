@@ -111,9 +111,11 @@ def _consensus_counts(feat, weights):
     )
 
 
-def _dp_means_single(cfg: PipelineConfig, feat: jax.Array):
+def _dp_means_single(cfg: PipelineConfig, args):
     """DP-means for one leaf. feat (M, P) int8 (-1 = uncovered; invalid member
-    rows are all -1). Mirrors oracle.cluster.dp_means exactly."""
+    rows are all -1); can_seed (M,) bool restricts spawn seeds/support to
+    leaf-exclusive reads. Mirrors oracle.cluster.dp_means exactly."""
+    feat, can_seed = args
     M, P = feat.shape
     K = cfg.max_clusters_per_bin
     S = cfg.dp_spawn_scan
@@ -140,7 +142,7 @@ def _dp_means_single(cfg: PipelineConfig, feat: jax.Array):
         diff = jnp.where(jnp.arange(K)[None, :] < kact, diff, _BIG)
         new_assign = jnp.argmin(diff, axis=1).astype(jnp.int32)
         dmin = jnp.take_along_axis(diff, new_assign[:, None], axis=1)[:, 0]
-        orphans = dmin * lam_d > lam_n * ncov                  # (M,)
+        orphans = (dmin * lam_d > lam_n * ncov) & can_seed     # (M,)
         n_orph = orphans.sum()
         can_spawn = (n_orph >= cfg.dp_spawn_min_orphans) & (kact < K)
 
@@ -220,9 +222,10 @@ def _dp_means_single(cfg: PipelineConfig, feat: jax.Array):
     return assign, centers2, kact2
 
 
-def dp_means_leaves(feat: jax.Array, cfg: PipelineConfig) -> DPMeansOut:
-    """Run DP-means over all leaves. feat (NL, M, P) int8."""
+def dp_means_leaves(feat: jax.Array, can_seed: jax.Array,
+                    cfg: PipelineConfig) -> DPMeansOut:
+    """Run DP-means over all leaves. feat (NL, M, P) int8, can_seed (NL, M)."""
     assign, centers, kact = jax.lax.map(
-        functools.partial(_dp_means_single, cfg), feat
+        functools.partial(_dp_means_single, cfg), (feat, can_seed)
     )
     return DPMeansOut(assign=assign, centers=centers, kact=kact)

@@ -13,10 +13,6 @@ oracle.consensus / oracle.pipeline's variant-aware merging exactly:
 Sequences stay as fixed-width (called, emit) tensors on device; the host
 compacts them to ragged gene sequences (panel management is host logic).
 
-`refine_consensus` needs no per-read member tables at all: exclusive counts
-are just the gene leaf's own node pileup, bin counts are the ancestor-chain
-sum, and provenance-group counts add the sibling gene leaves - everything
-derived from one scatter (pipeline.pileup.node_pileup).
 """
 
 from __future__ import annotations
@@ -64,10 +60,16 @@ def _unique_top(counts: jax.Array):
     return srt[..., -1] > srt[..., -2]
 
 
-def _use_cluster(poly_mask, counts_k, min_coverage):
+def _use_cluster(poly_mask, counts_k, counts_all, cfg: PipelineConfig):
+    """Columns where the cluster/exclusive population may override the
+    backbone: polymorphic, minimum depth, unique winner, and at least
+    vote_min_frac of the backbone's depth (oracle.pipeline rules)."""
+    dk = counts_k.sum(axis=-1)
+    dall = counts_all.sum(axis=-1)
     return (
         poly_mask
-        & (counts_k.sum(axis=-1) >= min_coverage)
+        & (dk >= cfg.min_coverage)
+        & (dk * cfg.vote_min_frac_den >= cfg.vote_min_frac_num * dall)
         & _unique_top(counts_k)
     )
 
@@ -98,7 +100,7 @@ def _leaf_cluster_consensus(cfg: PipelineConfig, K: int, ref_len: int, args):
     sp = sp.at[lo_flat].add(1).at[hi_flat].add(-1)
     span_k = jnp.cumsum(sp[:-1].reshape(K, ref_len + 1)[:, :-1], axis=1)
 
-    use_k = _use_cluster(poly_mask[None, :], counts_k, cfg.min_coverage)
+    use_k = _use_cluster(poly_mask[None, :], counts_k, counts_all[None], cfg)
     counts_eff = jnp.where(use_k[..., None], counts_k, counts_all[None])
     span_eff = jnp.where(use_k, span_k, span_all[None])
     called, emit = call_consensus_jax(counts_eff, span_eff)
@@ -130,68 +132,9 @@ def cluster_consensus_leaves(
     return ConsensusOut(called=called, emit=emit, n_reads=nk)
 
 
-def refine_consensus(
-    counts: jax.Array,        # (n_nodes, ref_len, 4) node pileup
-    span_diff: jax.Array,     # (n_nodes, ref_len+1)
-    read_count: jax.Array,    # (n_nodes,) int32 reads binned exactly at node
-    gene_leaves: jax.Array,   # (G,) int32 node id of each gene leaf
-    gene_group: jax.Array,    # (G,) int32 group (provenance taxon) index 0..NT-1
-    group_taxon: jax.Array,   # (NT,) int32 node id of each group's taxon
-    anc_path: jax.Array,
-    depth: jax.Array,
-    cfg: PipelineConfig,
-):
-    """Refinement-round consensus (oracle.pipeline.refine_round semantics).
-
-    Returns (ConsensusOut over genes, n_members (G,), n_excl (G,)).
-    """
-    ref_len = counts.shape[1]
-    NT = group_taxon.shape[0]
-
-    # per-gene member pileup = ancestor chain of the gene leaf
-    g_counts, g_span = leaf_pileup(counts, span_diff, gene_leaves, anc_path, depth)
-
-    # exclusive pileup = the gene leaf's own node pileup
-    ex_counts = counts[gene_leaves]
-    ex_span = jnp.cumsum(span_diff[gene_leaves][:, :-1], axis=1)
-
-    # group pileup = chain(taxon) + sum of gene-leaf node pileups in the group
-    t_counts, _ = leaf_pileup(counts, span_diff, group_taxon, anc_path, depth)
-    t_span_diff = _chain_span_diff(span_diff, group_taxon, anc_path, depth)
-    seg = jax.nn.one_hot(gene_group, NT, dtype=jnp.float32)       # (G, NT)
-    add_counts = jnp.einsum(
-        "gt,gcb->tcb", seg, ex_counts.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    grp_counts = t_counts + add_counts
-
-    pm = polymorphic_mask(
-        grp_counts, cfg.min_coverage, cfg.poly_min_minor_count,
-        cfg.poly_min_minor_frac, cfg.max_poly_cols,
-    )                                                             # (NT, ref_len)
-    pm_g = pm[gene_group]                                         # (G, ref_len)
-
-    use_ex = _use_cluster(pm_g, ex_counts, cfg.min_coverage)
-    counts_eff = jnp.where(use_ex[..., None], ex_counts, g_counts)
-    span_eff = jnp.where(use_ex, ex_span, g_span)
-    called, emit = call_consensus_jax(counts_eff, span_eff)
-
-    n_excl = read_count[gene_leaves]
-    n_mem = _chain_read_count(read_count, gene_leaves, anc_path, depth)
-    return ConsensusOut(called=called, emit=emit, n_reads=n_mem), n_mem, n_excl
-
-
-def _chain_span_diff(span_diff, nodes, anc_path, depth):
-    from rambl_tpu.index.taxonomy import MAX_DEPTH
-
-    paths = anc_path[nodes]
-    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
-    use = dd[None, :] <= depth[nodes][:, None]
-    s = span_diff[paths]
-    return jnp.sum(s * use[:, :, None], axis=1)
-
-
 def _chain_read_count(read_count, nodes, anc_path, depth):
+    """Reads binned anywhere on each node's ancestor chain (leaf membership
+    count without materializing per-read masks)."""
     from rambl_tpu.index.taxonomy import MAX_DEPTH
 
     paths = anc_path[nodes]
