@@ -89,6 +89,21 @@ def assemble_round(
     res = align_reads(reads, read_lens, ref_seqs, index, cfg)
     bins = bin_reads(res, tables, cfg)
 
+    # project alignment columns into each leaf's anchor coordinate system so
+    # pileups merged across same-leaf references stay column-consistent even
+    # when the references differ by indels (index.colmap)
+    from rambl_tpu.index.colmap import build_col_maps
+
+    col_map = build_col_maps(ref_seqs, ref_lens, tables.ref_taxon)
+    refc = np.clip(res.ref, 0, ref_seqs.shape[0] - 1)
+    rc = res.ref_col
+    proj = np.where(
+        rc >= 0,
+        col_map[refc[:, None], np.clip(rc, 0, ref_seqs.shape[1] - 1)],
+        -1,
+    )
+    res = dataclasses.replace(res, ref_col=proj.astype(np.int32))
+
     leaves = np.unique(tables.ref_taxon)
     genes: List[Gene] = []
     stats = dict(

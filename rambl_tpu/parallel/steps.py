@@ -28,17 +28,18 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
     """Build the jitted shard_map step.
 
     step(reads, lens, bucket_start, entries, ref_seqs, ref_taxon, anc_path,
-         depth)
+         depth, col_map)
       -> (query, ref_col, bins, score  [sharded over 'data'],
           counts, span_diff, read_count [replicated, psum-merged])
 
+    col_map is the anchor-coordinate projection (index.colmap.build_col_maps).
     With ring=True the seed-table arrays are expected bucket-range sharded
     over 'data' (see parallel.ring.build_ring_shards) and lookups rotate the
     shards around the mesh.
     """
 
     def step(reads, lens, bucket_start, entries,
-             ref_seqs, ref_taxon, anc_path, depth):
+             ref_seqs, ref_taxon, anc_path, depth, col_map):
         if ring:
             from rambl_tpu.parallel.ring import ring_align_batch
 
@@ -49,8 +50,15 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
             table = SeedTable(bucket_start, entries, n_bits)
             res = align_batch(reads, lens, table, ref_seqs, cfg)
         bins = bin_batch(res, ref_taxon, anc_path, depth, cfg)
+        refc = jnp.clip(res.ref, 0, ref_seqs.shape[0] - 1)
+        rc = res.ref_col
+        proj = jnp.where(
+            rc >= 0,
+            col_map[refc[:, None], jnp.clip(rc, 0, ref_seqs.shape[1] - 1)],
+            -1,
+        ).astype(jnp.int32)
         counts, span_diff = node_pileup(
-            res.query, res.ref_col, bins, n_nodes, ref_len
+            res.query, proj, bins, n_nodes, ref_len
         )
         read_count = jnp.zeros((n_nodes + 1,), jnp.int32).at[
             jnp.where(bins >= 0, bins, n_nodes)
@@ -59,7 +67,7 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
         counts = jax.lax.psum(counts, DATA_AXIS)
         span_diff = jax.lax.psum(span_diff, DATA_AXIS)
         read_count = jax.lax.psum(read_count, DATA_AXIS)
-        return res.query, res.ref_col, bins, res.score, counts, span_diff, read_count
+        return res.query, proj, bins, res.score, counts, span_diff, read_count
 
     data = P(DATA_AXIS)
     data2 = P(DATA_AXIS, None)
@@ -68,7 +76,7 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
     in_specs = (
         data2, data,                      # reads, lens
         table_spec, table_spec,           # seed table: bucket_start, entries
-        repl, repl, repl, repl,           # ref_seqs, ref_taxon, anc, depth
+        repl, repl, repl, repl, repl,     # ref_seqs, ref_taxon, anc, depth, col_map
     )
     out_specs = (data2, data2, data, data, repl, repl, repl)
     return jax.jit(

@@ -52,12 +52,20 @@ _BIG = 1 << 30
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_bits"))
 def _align_bin_batch(reads, lens, bucket_start, entries,
-                     ref_seqs, ref_taxon, anc_path, depth,
+                     ref_seqs, ref_taxon, anc_path, depth, col_map,
                      cfg: PipelineConfig, n_bits: int):
     table = SeedTable(bucket_start, entries, n_bits)
     res = align_batch(reads, lens, table, ref_seqs, cfg)
     bins = bin_batch(res, ref_taxon, anc_path, depth, cfg)
-    return res.query, res.ref_col, bins, res.score, res.ref, res.strand
+    # anchor-coordinate projection (see index.colmap / oracle.assemble_round)
+    refc = jnp.clip(res.ref, 0, ref_seqs.shape[0] - 1)
+    rc = res.ref_col
+    proj = jnp.where(
+        rc >= 0,
+        col_map[refc[:, None], jnp.clip(rc, 0, ref_seqs.shape[1] - 1)],
+        -1,
+    ).astype(jnp.int32)
+    return res.query, proj, bins, res.score, res.ref, res.strand
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_nodes", "ref_len"))
@@ -126,17 +134,22 @@ def _pad_batches(reads, lens, batch):
     return reads, lens, nb, B
 
 
-def _stream_align(reads, lens, index, ref_seqs, tables, cfg):
+def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
     """Batch-stream the jitted align+bin step; accumulate node pileups.
 
-    Returns host arrays (query, ref_col, bins, score, ref, strand) for the
-    real reads plus device pileup accumulators.
+    Returns device arrays (query, projected ref_col, bins, score, ref,
+    strand) for the real reads plus device pileup accumulators.
     """
+    from rambl_tpu.index.colmap import build_col_maps
+
     table = SeedTable.from_index(index)
     ref_seqs_d = jnp.asarray(ref_seqs)
     anc = jnp.asarray(tables.anc_path)
     dep = jnp.asarray(tables.depth)
     rt = jnp.asarray(tables.ref_taxon)
+    col_map = jnp.asarray(build_col_maps(
+        np.asarray(ref_seqs), np.asarray(ref_lens),
+        np.asarray(tables.ref_taxon)))
     n_nodes = tables.n_nodes
     ref_len = ref_seqs.shape[1]
 
@@ -153,7 +166,7 @@ def _stream_align(reads, lens, index, ref_seqs, tables, cfg):
         sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
         q, rc, b, sc, rf, st = _align_bin_batch(
             padded[sl], plens[sl], table.bucket_start, table.entries,
-            ref_seqs_d, rt, anc, dep, cfg, index.n_bits,
+            ref_seqs_d, rt, anc, dep, col_map, cfg, index.n_bits,
         )
         counts, span_diff, read_count = _pileup_accum(
             q, rc, b, counts, span_diff, read_count, cfg, n_nodes, ref_len
@@ -216,7 +229,7 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     if index is None:
         index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
     rec, counts, span_diff, read_count = _stream_align(
-        reads, lens, index, ref_seqs, tables, cfg
+        reads, lens, index, ref_seqs, ref_lens, tables, cfg
     )
     leaves = np.unique(tables.ref_taxon)
     cons, kact, n_mem = _cluster_consensus_round0(

@@ -29,6 +29,12 @@ def mesh():
     return data_mesh(8)
 
 
+def _col_map(ds, tax):
+    from rambl_tpu.index.colmap import build_col_maps
+
+    return build_col_maps(ds.ref_seqs, ds.ref_lens, tax.ref_taxon)
+
+
 def _single_device_reference(ds, index, tax, cfg):
     table = SeedTable.from_index(index)
     res = align_batch(
@@ -39,14 +45,22 @@ def _single_device_reference(ds, index, tax, cfg):
         res, jnp.asarray(tax.ref_taxon), jnp.asarray(tax.anc_path),
         jnp.asarray(tax.depth), cfg,
     )
+    cmap = jnp.asarray(_col_map(ds, tax))
+    refc = jnp.clip(res.ref, 0, ds.ref_seqs.shape[0] - 1)
+    rc = res.ref_col
+    proj = jnp.where(
+        rc >= 0,
+        cmap[refc[:, None], jnp.clip(rc, 0, ds.ref_seqs.shape[1] - 1)],
+        -1,
+    ).astype(jnp.int32)
     counts, span = node_pileup(
-        res.query, res.ref_col, bins, tax.n_nodes, ds.ref_seqs.shape[1]
+        res.query, proj, bins, tax.n_nodes, ds.ref_seqs.shape[1]
     )
-    return res, bins, np.asarray(counts), np.asarray(span)
+    return res, proj, bins, np.asarray(counts), np.asarray(span)
 
 
 def test_sharded_step_matches_single_device(small_ds, small_index, small_tax, cfg, mesh):
-    res1, bins1, counts1, span1 = _single_device_reference(
+    res1, proj1, bins1, counts1, span1 = _single_device_reference(
         small_ds, small_index, small_tax, cfg
     )
 
@@ -59,11 +73,12 @@ def test_sharded_step_matches_single_device(small_ds, small_index, small_tax, cf
     lens = put_sharded(small_ds.read_lens[:B], mesh)
     args = [put_replicated(np.asarray(x), mesh) for x in
             (table.bucket_start, table.entries, small_ds.ref_seqs,
-             small_tax.ref_taxon, small_tax.anc_path, small_tax.depth)]
+             small_tax.ref_taxon, small_tax.anc_path, small_tax.depth,
+             _col_map(small_ds, small_tax))]
     q, rc, bins, score, counts, span, rcount = step(reads, lens, *args)
 
     np.testing.assert_array_equal(np.asarray(q), np.asarray(res1.query))
-    np.testing.assert_array_equal(np.asarray(rc), np.asarray(res1.ref_col))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(proj1))
     np.testing.assert_array_equal(np.asarray(bins), np.asarray(bins1))
     np.testing.assert_array_equal(np.asarray(score), np.asarray(res1.score))
     np.testing.assert_array_equal(np.asarray(counts), counts1)
@@ -85,17 +100,18 @@ def test_ring_sharded_index_matches_replicated(small_ds, small_index, small_tax,
                   ("bucket_start", "entries")]
     repl_args = [put_replicated(np.asarray(x), mesh) for x in
                  (small_ds.ref_seqs, small_tax.ref_taxon,
-                  small_tax.anc_path, small_tax.depth)]
+                  small_tax.anc_path, small_tax.depth,
+                  _col_map(small_ds, small_tax))]
     q, rc, bins, score, counts, span, rcount = step(
         reads, lens, *shard_args, *repl_args
     )
 
-    res1, bins1, counts1, span1 = _single_device_reference(
+    res1, proj1, bins1, counts1, span1 = _single_device_reference(
         small_ds, small_index, small_tax, cfg
     )
     np.testing.assert_array_equal(np.asarray(score), np.asarray(res1.score))
     np.testing.assert_array_equal(np.asarray(bins), np.asarray(bins1))
-    np.testing.assert_array_equal(np.asarray(rc), np.asarray(res1.ref_col))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(proj1))
     np.testing.assert_array_equal(np.asarray(counts), counts1)
 
 
