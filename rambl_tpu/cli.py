@@ -121,6 +121,16 @@ def cmd_assemble(args) -> int:
                 native_loader=native_available(),
                 preset=args.preset or "default")
 
+    initial_panel = None
+    if args.resume_from:
+        from rambl_tpu.utils.checkpoint import config_fingerprint
+
+        header, initial_panel = load_checkpoint(args.resume_from)
+        if header["fingerprint"] != config_fingerprint(cfg):
+            print("warning: checkpoint config fingerprint differs from the "
+                  "active config; resuming anyway", file=sys.stderr)
+        metrics.log("resume", round=header["round"], genes=len(initial_panel))
+
     if args.profile:
         import jax
 
@@ -128,7 +138,8 @@ def cmd_assemble(args) -> int:
     if args.oracle:
         from rambl_tpu.oracle.pipeline import assemble
 
-        results = [assemble(r, l, ref_seqs, ref_lens, tables, cfg)
+        results = [assemble(r, l, ref_seqs, ref_lens, tables, cfg,
+                            initial_panel=initial_panel)
                    for r, l in samples]
     elif len(samples) > 1:
         from rambl_tpu.pipeline.assemble import assemble_cohort
@@ -138,7 +149,8 @@ def cmd_assemble(args) -> int:
         from rambl_tpu.pipeline.assemble import assemble_jax
 
         results = [assemble_jax(samples[0][0], samples[0][1], ref_seqs,
-                                ref_lens, tables, cfg)]
+                                ref_lens, tables, cfg,
+                                initial_panel=initial_panel)]
     if args.profile:
         import jax
 
@@ -199,6 +211,8 @@ def main(argv=None) -> int:
                    help="run the NumPy oracle instead of the TPU path")
     a.add_argument("--metrics", help="JSONL metrics output path")
     a.add_argument("--checkpoint", help="write final panel checkpoint here")
+    a.add_argument("--resume-from", help="panel checkpoint to resume from: "
+                   "skips discovery, continues assembly rounds on its panel")
     a.add_argument("--profile", help="dump a jax.profiler trace to this dir")
     a.set_defaults(fn=cmd_assemble)
 

@@ -206,12 +206,19 @@ def assemble(
     ref_lens: np.ndarray,
     tables: TaxonomyTables,
     cfg: PipelineConfig,
+    initial_panel: Optional[List[Gene]] = None,
 ) -> AssemblyResult:
+    """initial_panel resumes from a checkpointed panel: the discovery round is
+    skipped and rounds continue deterministically on the given genes."""
     round_stats: List[dict] = []
-    genes, stats = assemble_round(
-        reads, read_lens, ref_seqs, ref_lens, tables, cfg, round_idx=0
-    )
-    round_stats.append(stats)
+    if initial_panel is None:
+        genes, stats = assemble_round(
+            reads, read_lens, ref_seqs, ref_lens, tables, cfg, round_idx=0
+        )
+        round_stats.append(stats)
+    else:
+        genes = list(initial_panel)
+        round_stats.append(dict(round=0, resumed=True, genes=len(genes)))
     seen = {tuple(sorted(g.key() for g in genes))}
     converged = False
     for it in range(1, cfg.max_assembly_iters):

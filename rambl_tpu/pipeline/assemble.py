@@ -271,10 +271,12 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
 
 
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
-                 cfg: PipelineConfig, shared_index=None):
+                 cfg: PipelineConfig, shared_index=None, initial_panel=None):
     """Device version of oracle.pipeline.assemble (same convergence loop:
     every round is a full discovery round; the panel maps genes back to
-    their provenance taxa - see oracle.pipeline.panel_tables)."""
+    their provenance taxa - see oracle.pipeline.panel_tables).
+
+    initial_panel resumes from a checkpointed panel (discovery skipped)."""
     from rambl_tpu.oracle.pipeline import (
         AssemblyResult,
         pad_panel,
@@ -282,11 +284,15 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     )
 
     round_stats = []
-    genes, stats = assemble_round_jax(
-        reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
-        index=shared_index,
-    )
-    round_stats.append(stats)
+    if initial_panel is None:
+        genes, stats = assemble_round_jax(
+            reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
+            index=shared_index,
+        )
+        round_stats.append(stats)
+    else:
+        genes = list(initial_panel)
+        round_stats.append(dict(round=0, resumed=True, genes=len(genes)))
     seen = {tuple(sorted(g.key() for g in genes))}
     converged = False
     for it in range(1, cfg.max_assembly_iters):

@@ -95,3 +95,24 @@ def test_determinism_across_runs(small_ds, small_tax):
     r2 = assemble(small_ds.reads[:n], small_ds.read_lens[:n],
                   small_ds.ref_seqs, small_ds.ref_lens, small_tax, cfg)
     assert [g.key() for g in r1.genes] == [g.key() for g in r2.genes]
+
+
+def test_resume_from_checkpoint_matches_uninterrupted(small_ds, small_tax, tmp_path):
+    """Resume = bitwise continuation (SURVEY.md section 5 checkpoint/resume):
+    a 1-round run checkpointed then resumed for the remaining rounds yields
+    the same panel as an uninterrupted multi-round run."""
+    from rambl_tpu.oracle.pipeline import assemble
+    from rambl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+    n = 300
+    args = (small_ds.reads[:n], small_ds.read_lens[:n], small_ds.ref_seqs,
+            small_ds.ref_lens, small_tax)
+    full = assemble(*args, PipelineConfig(max_assembly_iters=2))
+    one = assemble(*args, PipelineConfig(max_assembly_iters=1))
+    p = str(tmp_path / "mid.ckpt")
+    save_checkpoint(p, PipelineConfig(), one.genes, 1)
+    _, panel = load_checkpoint(p)
+    resumed = assemble(*args, PipelineConfig(max_assembly_iters=2),
+                       initial_panel=panel)
+    assert sorted(g.key() for g in resumed.genes) == sorted(
+        g.key() for g in full.genes)
