@@ -72,8 +72,17 @@ def _nw_map(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def build_col_maps(ref_seqs: np.ndarray, ref_lens: np.ndarray,
                    ref_taxon: np.ndarray) -> np.ndarray:
-    """(n_refs, ref_len_max) int32: per-ref column -> leaf-anchor column
-    (-1 = unmapped). Identity for anchors and equal-sequence refs."""
+    """(n_refs, ref_len_max) int32: per-ref column -> LEAF-ANCHOR column
+    (-1 = unmapped). Identity for anchors and equal-sequence refs.
+
+    Per-leaf anchors keep every taxon's own coordinates lossless (a global
+    template would drop taxon-specific insertions and distort divergent
+    variable regions). Cross-taxon consistency for tree-shared reads is
+    provided by OFFSET-PRESERVING PANELS instead: every consensus gene
+    records the anchor column of its first base (Gene.offset) and is placed
+    at that offset in the next round's reference array, so all panel
+    coordinates remain mutually aligned without any projection loss.
+    """
     n_refs, Lmax = ref_seqs.shape
     anchors = anchor_of_leaf(np.asarray(ref_taxon))
     cmap = np.full((n_refs, Lmax), -1, np.int32)

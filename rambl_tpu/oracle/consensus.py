@@ -36,17 +36,22 @@ def cluster_pileup(query: np.ndarray, ref_col: np.ndarray, ref_len: int):
     return counts, span_cover
 
 
-def call_consensus(counts: np.ndarray, span_cover: np.ndarray) -> np.ndarray:
-    """Emit consensus int8 codes per the module rules. Empty -> shape (0,)."""
+def call_consensus(counts: np.ndarray, span_cover: np.ndarray):
+    """Emit consensus codes per the module rules.
+
+    Returns (seq int8 (n,), offset int): offset is the column of the first
+    emitted base (for offset-preserving panels). Empty -> ((0,), 0).
+    """
     base_cover = counts.sum(axis=1)
     covered = np.nonzero(base_cover > 0)[0]
     if covered.size == 0:
-        return np.zeros((0,), np.int8)
+        return np.zeros((0,), np.int8), 0
     lo, hi = int(covered[0]), int(covered[-1])
     dele = span_cover - base_cover
     emit = (base_cover > 0) & (dele <= base_cover)
     emit[:lo] = False
     emit[hi + 1 :] = False
     cols = np.nonzero(emit)[0]
+    off = int(cols[0]) if cols.size else 0
     # argmax base, ties -> lowest code (np.argmax picks first max)
-    return np.argmax(counts[cols], axis=1).astype(np.int8)
+    return np.argmax(counts[cols], axis=1).astype(np.int8), off

@@ -44,6 +44,8 @@ class Gene:
     cluster: int
     round_born: int
     taxon: int = 0        # ORIGINAL-taxonomy node this gene descends from
+    offset: int = 0       # anchor column of the first base (offset-preserving
+                          # panels keep all rounds' coordinates aligned)
 
     def key(self) -> bytes:
         return self.seq.tobytes()
@@ -61,12 +63,16 @@ class AssemblyResult:
 
 
 def pad_panel(genes: List[Gene], ref_len_max: int):
+    """Panel genes placed at their recorded anchor offsets (leading pad code
+    4 never matches, so alignment lands in the real sequence) - keeps all
+    panel coordinates mutually aligned across rounds."""
     seqs = np.full((len(genes), ref_len_max), 4, dtype=np.int8)
     lens = np.zeros((len(genes),), np.int32)
     for i, g in enumerate(genes):
-        L = min(g.seq.shape[0], ref_len_max)
-        seqs[i, :L] = g.seq[:L]
-        lens[i] = L
+        off = min(int(g.offset), ref_len_max - 1)
+        L = min(g.seq.shape[0], ref_len_max - off)
+        seqs[i, off : off + L] = g.seq[:L]
+        lens[i] = off + L
     return seqs, lens
 
 
@@ -90,8 +96,9 @@ def assemble_round(
     bins = bin_reads(res, tables, cfg)
 
     # project alignment columns into each leaf's anchor coordinate system so
-    # pileups merged across same-leaf references stay column-consistent even
-    # when the references differ by indels (index.colmap)
+    # pileups merged across same-leaf references stay column-consistent
+    # (cross-taxon consistency comes from offset-preserving panels; see
+    # index.colmap)
     from rambl_tpu.index.colmap import build_col_maps
 
     col_map = build_col_maps(ref_seqs, ref_lens, tables.ref_taxon)
@@ -157,12 +164,13 @@ def assemble_round(
             # the bases, else thin cluster counts vs bin-wide span coverage
             # falsely flags every polymorphic column as deleted
             span_eff = np.where(use_k, span_k, span_all)
-            seq = call_consensus(counts_eff, span_eff)
+            seq, off = call_consensus(counts_eff, span_eff)
             if seq.shape[0] == 0:
                 continue
             taxon = int(leaf) if orig_taxon_of_node is None else int(orig_taxon_of_node[leaf])
             genes.append(Gene(seq=seq, n_reads=nk, leaf=int(leaf),
-                              cluster=k, round_born=round_idx, taxon=taxon))
+                              cluster=k, round_born=round_idx, taxon=taxon,
+                              offset=off))
     # dedupe identical sequences: keep the one with most reads
     # (ties -> earliest in (leaf asc, cluster asc) order, which is list order)
     bykey: dict[bytes, Gene] = {}
@@ -213,7 +221,7 @@ def assemble(
     round_stats: List[dict] = []
     if initial_panel is None:
         genes, stats = assemble_round(
-            reads, read_lens, ref_seqs, ref_lens, tables, cfg, round_idx=0
+            reads, read_lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
         )
         round_stats.append(stats)
     else:

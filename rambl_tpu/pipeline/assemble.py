@@ -196,13 +196,16 @@ def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
         for k in range(int(kact[li])):
             if nk[li, k] < cfg.min_cluster_reads:
                 continue
-            seq = called[li, k][emit[li, k]].astype(np.int8)
+            em = emit[li, k]
+            seq = called[li, k][em].astype(np.int8)
             if seq.shape[0] == 0:
                 continue
+            off = int(np.argmax(em))  # first emitted column
             taxon = (int(leaf) if orig_taxon_of_node is None
                      else int(orig_taxon_of_node[leaf]))
             genes.append(Gene(seq=seq, n_reads=int(nk[li, k]), leaf=int(leaf),
-                              cluster=k, round_born=round_idx, taxon=taxon))
+                              cluster=k, round_born=round_idx, taxon=taxon,
+                              offset=off))
     return genes
 
 

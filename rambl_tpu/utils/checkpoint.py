@@ -22,7 +22,7 @@ import numpy as np
 from rambl_tpu.config import PipelineConfig
 from rambl_tpu.oracle.pipeline import Gene
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: gene meta gained the panel offset column
 
 
 def config_fingerprint(cfg: PipelineConfig) -> str:
@@ -43,7 +43,8 @@ def save_checkpoint(path: str, cfg: PipelineConfig, genes: List[Gene],
     if genes:
         arrays["seqs"] = np.concatenate([g.seq for g in genes]).astype(np.int8)
         arrays["meta"] = np.array(
-            [[g.n_reads, g.leaf, g.cluster, g.round_born, g.taxon] for g in genes],
+            [[g.n_reads, g.leaf, g.cluster, g.round_born, g.taxon, g.offset]
+             for g in genes],
             np.int32,
         )
     tmp = path + ".tmp"
@@ -67,7 +68,9 @@ def load_checkpoint(path: str) -> Tuple[dict, List[Gene]]:
         for i, L in enumerate(lens):
             seq = seqs[off : off + L].copy()
             off += int(L)
-            n_reads, leaf, cluster, born, taxon = (int(x) for x in meta[i])
+            n_reads, leaf, cluster, born, taxon, offset = (
+                int(x) for x in meta[i])
             genes.append(Gene(seq=seq, n_reads=n_reads, leaf=leaf,
-                              cluster=cluster, round_born=born, taxon=taxon))
+                              cluster=cluster, round_born=born, taxon=taxon,
+                              offset=offset))
     return header, genes

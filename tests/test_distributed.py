@@ -32,7 +32,8 @@ def mesh():
 def _col_map(ds, tax):
     from rambl_tpu.index.colmap import build_col_maps
 
-    return build_col_maps(ds.ref_seqs, ds.ref_lens, tax.ref_taxon)
+    return build_col_maps(ds.ref_seqs, ds.ref_lens,
+                          ds.ref_seqs[0, : ds.ref_lens[0]])
 
 
 def _single_device_reference(ds, index, tax, cfg):

@@ -106,8 +106,9 @@ def test_consensus_simple():
     q = np.array([[0, 1, 2], [0, 1, 2], [0, 3, 2]], np.int8)
     rc = np.array([[5, 6, 7], [5, 6, 7], [5, 6, 7]], np.int32)
     counts, span = cluster_pileup(q, rc, 12)
-    seq = call_consensus(counts, span)
+    seq, off = call_consensus(counts, span)
     assert decode_seq(seq) == "ACG"
+    assert off == 5
 
 
 def test_consensus_deletion_column():
@@ -115,7 +116,7 @@ def test_consensus_deletion_column():
     q = np.array([[0, 1, 2], [0, 1, 2], [0, 3, 2]], np.int8)
     rc = np.array([[5, 7, 8], [5, 7, 8], [5, 6, 7]], np.int32)
     counts, span = cluster_pileup(q, rc, 12)
-    seq = call_consensus(counts, span)
+    seq, off = call_consensus(counts, span)
     # column 6: 1 base vs 2 deletions -> dropped
     assert decode_seq(seq) == "ACG" or len(seq) == 3
 
