@@ -78,12 +78,14 @@ class PipelineConfig:
 
     # ---- consensus / iteration ----
     min_coverage: int = 2            # min pileup depth to call a base
-    # a cluster/exclusive population may override the backbone at a
-    # polymorphic column only with >= num/den of the backbone's depth there
-    # (weak error-driven "exclusive" sets must not rewrite columns; variants
-    # below this within-bin abundance are not separated)
+    # a cluster population may override the backbone at a polymorphic column
+    # only with >= num/den of the backbone's depth there OR a winning base
+    # supported by >= vote_min_abs reads (independent sequencing errors
+    # essentially never agree 6 deep at one column, while a low-abundance
+    # strain at high coverage easily does)
     vote_min_frac_num: int = 1
     vote_min_frac_den: int = 4
+    vote_min_abs: int = 6
     max_assembly_iters: int = 5
     max_genes: int = 64              # max consensus sequences carried per round
     full_len_min: int = 1200         # min length to report a gene "full-length"

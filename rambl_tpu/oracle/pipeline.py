@@ -153,10 +153,14 @@ def assemble_round(
             srt = np.sort(counts_k, axis=1)
             dk = counts_k.sum(axis=1)
             dall = counts_all.sum(axis=1)
+            strong = (
+                (dk * cfg.vote_min_frac_den >= cfg.vote_min_frac_num * dall)
+                | (srt[:, -1] >= cfg.vote_min_abs)
+            )
             use_k = (
                 poly_mask
                 & (dk >= cfg.min_coverage)
-                & (dk * cfg.vote_min_frac_den >= cfg.vote_min_frac_num * dall)
+                & strong
                 & (srt[:, -1] > srt[:, -2])
             )
             counts_eff = np.where(use_k[:, None], counts_k, counts_all)

@@ -66,10 +66,15 @@ def _use_cluster(poly_mask, counts_k, counts_all, cfg: PipelineConfig):
     vote_min_frac of the backbone's depth (oracle.pipeline rules)."""
     dk = counts_k.sum(axis=-1)
     dall = counts_all.sum(axis=-1)
+    top = jnp.max(counts_k, axis=-1)
+    strong = (
+        (dk * cfg.vote_min_frac_den >= cfg.vote_min_frac_num * dall)
+        | (top >= cfg.vote_min_abs)
+    )
     return (
         poly_mask
         & (dk >= cfg.min_coverage)
-        & (dk * cfg.vote_min_frac_den >= cfg.vote_min_frac_num * dall)
+        & strong
         & _unique_top(counts_k)
     )
 
