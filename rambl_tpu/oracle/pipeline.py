@@ -85,13 +85,16 @@ def assemble_round(
     cfg: PipelineConfig,
     round_idx: int,
     orig_taxon_of_node: Optional[np.ndarray] = None,
+    n_bits: Optional[int] = None,
 ) -> tuple[List[Gene], dict]:
     """One align -> bin -> cluster -> consensus round.
 
     orig_taxon_of_node maps current-tree nodes to original-taxonomy nodes for
     newborn gene provenance (identity when aligning vs the original reference).
+    n_bits pins the hash geometry (must match the device path, which pins it
+    for panel rounds so they share one compiled executable).
     """
-    index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
+    index = build_seed_index(ref_seqs, ref_lens, k=cfg.k, n_bits=n_bits)
     res = align_reads(reads, read_lens, ref_seqs, index, cfg)
     bins = bin_reads(res, tables, cfg)
 
@@ -238,8 +241,12 @@ def assemble(
             break
         pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
         ptab = panel_tables(genes, tables)
+        # same pinned hash geometry as the device panel rounds
+        panel_bits = max(
+            8, int(np.ceil(np.log2(2 * cfg.max_genes * cfg.ref_len_max + 1))))
         genes, stats = assemble_round(
             reads, read_lens, pseqs, plens, ptab, cfg, round_idx=it,
+            n_bits=panel_bits,
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))

@@ -143,6 +143,14 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
     from rambl_tpu.index.colmap import build_col_maps
 
     table = SeedTable.from_index(index)
+    # pad the entry array to a bucket multiple: pad rows (key -1) sit beyond
+    # every CSR bucket range and are never scanned, so rounds with drifting
+    # index sizes share one compiled executable
+    ne = table.entries.shape[0]
+    nb_pad = max(4096, -(-ne // 65536) * 65536)
+    if nb_pad != ne:
+        pad = jnp.full((nb_pad - ne, 4), -1, jnp.int32)
+        table = table._replace(entries=jnp.concatenate([table.entries, pad]))
     ref_seqs_d = jnp.asarray(ref_seqs)
     anc = jnp.asarray(tables.anc_path)
     dep = jnp.asarray(tables.depth)
@@ -223,27 +231,37 @@ def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
 
 
 def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
-                       round_idx=0, orig_taxon_of_node=None, index=None):
+                       round_idx=0, orig_taxon_of_node=None, index=None,
+                       n_bits=None):
     """Device version of oracle.pipeline.assemble_round.
 
     `index` lets cohort runs share one prebuilt Greengenes index across
-    samples (BASELINE.json config 4).
+    samples (BASELINE.json config 4); `n_bits` pins the hash-table geometry
+    so successive rounds reuse one compiled align executable.
     """
     if index is None:
-        index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
+        index = build_seed_index(ref_seqs, ref_lens, k=cfg.k, n_bits=n_bits)
     rec, counts, span_diff, read_count = _stream_align(
         reads, lens, index, ref_seqs, ref_lens, tables, cfg
     )
     leaves = np.unique(tables.ref_taxon)
+    # pad the leaf list to a bucket size so successive rounds (whose leaf
+    # counts drift) reuse one compiled executable; duplicate pad leaves
+    # produce byte-identical genes that dedupe away
+    NL = leaves.size
+    bucket = max(8, -(-NL // 8) * 8)
+    leaves_p = np.concatenate(
+        [leaves, np.full(bucket - NL, leaves[0], leaves.dtype)])
     cons, kact, n_mem = _cluster_consensus_round0(
         jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
         jnp.asarray(rec["bins"]), counts, span_diff, read_count,
-        jnp.asarray(leaves), jnp.asarray(tables.anc_path),
+        jnp.asarray(leaves_p), jnp.asarray(tables.anc_path),
         jnp.asarray(tables.depth), cfg,
     )
     genes = _genes_from_consensus(
-        cons.called, cons.emit, cons.n_reads, kact, leaves, n_mem, cfg,
-        round_idx, orig_taxon_of_node,
+        np.asarray(cons.called)[:NL], np.asarray(cons.emit)[:NL],
+        np.asarray(cons.n_reads)[:NL], np.asarray(kact)[:NL], leaves,
+        np.asarray(n_mem)[:NL], cfg, round_idx, orig_taxon_of_node,
     )
     stats = dict(
         round=round_idx,
@@ -303,8 +321,28 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             break
         pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
         ptab = panel_tables(genes, tables)
+        # pad the panel ref count to a bucket so every round's align step
+        # reuses one compiled executable (pad refs are all-N: no k-mers, no
+        # candidates, no reads - outputs are unchanged)
+        G = len(genes)
+        gb = max(32, -(-G // 32) * 32)
+        if gb != G:
+            pseqs = np.concatenate(
+                [pseqs, np.full((gb - G, pseqs.shape[1]), 4, np.int8)])
+            plens = np.concatenate([plens, np.zeros(gb - G, np.int32)])
+            ptab = TaxonomyTables(
+                anc_path=ptab.anc_path, depth=ptab.depth,
+                ref_taxon=np.concatenate(
+                    [ptab.ref_taxon,
+                     np.full(gb - G, ptab.ref_taxon[0], np.int32)]),
+                n_nodes=ptab.n_nodes,
+            )
+        # fixed hash geometry for all panel rounds (one align compile)
+        panel_bits = max(
+            8, int(np.ceil(np.log2(2 * cfg.max_genes * cfg.ref_len_max + 1))))
         genes, stats = assemble_round_jax(
             reads, lens, pseqs, plens, ptab, cfg, round_idx=it,
+            n_bits=panel_bits,
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))
