@@ -45,6 +45,9 @@ def fetch(out):
 
 
 def main():
+    from rambl_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 

@@ -188,6 +188,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from rambl_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(prog="rambl_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
