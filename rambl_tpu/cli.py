@@ -175,7 +175,10 @@ def cmd_assemble(args) -> int:
         if args.checkpoint:
             ck = args.checkpoint if len(results) == 1 else (
                 args.checkpoint + f".sample{si}")
-            save_checkpoint(ck, cfg, genes, result.n_rounds, result.round_stats)
+            # checkpoint the PRE-polish loop panel: resume continues the loop,
+            # and the loop must never see polished genes (bitwise continuation)
+            save_checkpoint(ck, cfg, result.panel, result.n_rounds,
+                            result.round_stats)
         print(f"sample {si}: {len(genes)} genes ({len(full)} full-length) -> {out}")
     return 0
 

@@ -89,6 +89,14 @@ class PipelineConfig:
     max_assembly_iters: int = 5
     max_genes: int = 64              # max consensus sequences carried per round
     full_len_min: int = 1200         # min length to report a gene "full-length"
+    # ---- polish pass (final leaf-exclusive re-vote; oracle/polish.py) ----
+    # a gene base is overridden only by depth >= polish_min_depth votes with a
+    # unique winner holding >= maj_num/maj_den of them; mixed strain columns
+    # (~50/50) never qualify, contamination/coin-flip errors do
+    polish: bool = True
+    polish_min_depth: int = 4
+    polish_maj_num: int = 2
+    polish_maj_den: int = 3
 
     # ---- batching / parallelism ----
     max_bin_reads: int = 4096        # member cap per leaf bin for clustering

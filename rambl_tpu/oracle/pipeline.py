@@ -53,10 +53,14 @@ class Gene:
 
 @dataclasses.dataclass
 class AssemblyResult:
-    genes: List[Gene]
+    genes: List[Gene]        # final output (polished when cfg.polish)
     n_rounds: int
     converged: bool
     round_stats: List[dict]
+    # the loop-state panel BEFORE the final polish pass: checkpoints must save
+    # this (resuming continues the loop, and the loop never sees polished
+    # genes), so resume stays a bitwise continuation
+    panel: List[Gene] = dataclasses.field(default_factory=list)
 
     def full_length(self, cfg: PipelineConfig) -> List[Gene]:
         return [g for g in self.genes if g.seq.shape[0] >= cfg.full_len_min]
@@ -256,9 +260,18 @@ def assemble(
             converged = True
             break
         seen.add(new_key)
+    n_rounds = len(round_stats)
+    panel = list(genes)
+    if cfg.polish and genes:
+        from rambl_tpu.oracle.polish import polish_genes
+
+        genes, n_changed = polish_genes(
+            reads, read_lens, ref_seqs, ref_lens, genes, tables, cfg)
+        round_stats.append(dict(round="polish", changed=n_changed))
     return AssemblyResult(
         genes=genes,
-        n_rounds=len(round_stats),
+        n_rounds=n_rounds,
         converged=converged,
         round_stats=round_stats,
+        panel=panel,
     )

@@ -1,0 +1,145 @@
+"""Final polish pass (oracle): leaf-exclusive re-voting from round-0 evidence.
+
+The assembly loop's consensus votes come from LCA-shared bin members: reads
+from OTHER taxa that tie across the tree are members of every descendant leaf
+and can outvote a leaf's own reads at its private conserved-region columns.
+Small variant clusters have ~1x per-column depth, so polymorphic columns fall
+back to the mixed bin pileup - a coin flip between equal-abundance strains
+(see scripts/diagnose_quality.py for the error census that motivated this).
+
+Polish re-votes every gene column against the cleanest evidence available:
+reads binned EXACTLY at a leaf when aligned to the original reference index
+(round-0 semantics). Such reads carry at least one taxon-distinguishing base,
+so cross-taxon conserved-region contamination is excluded by construction -
+and, unlike re-aligning against the panel itself, a read whose private
+mutation the panel got WRONG still binned correctly against the original
+reference, so its corrective vote is not lost to a cross-gene tie.
+
+Coordinates: offset-preserving panels keep every round's columns in the
+round-0 per-leaf anchor system (index.colmap), so round-0 projected read
+columns address gene bases directly through the final panel's column maps.
+
+Override rule: a gene base changes only on DEEP, DECISIVE evidence - depth >=
+polish_min_depth, a unique winning base holding >= polish_maj_num /
+polish_maj_den of the votes, at that gene's own taxon. Mixed strain columns
+(~50/50 between variants) never reach the bar and stay untouched; columns
+corrupted by contamination or bin-majority coin flips are repaired.
+
+Substitution-only: offsets and lengths never change, so panel coordinates
+stay valid. Deterministic and integer-exact throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.index.builder import build_seed_index
+from rambl_tpu.index.colmap import build_col_maps
+from rambl_tpu.index.taxonomy import TaxonomyTables
+from rambl_tpu.oracle.align import align_reads
+from rambl_tpu.oracle.binning import bin_reads
+from rambl_tpu.oracle.cluster import bin_pileup
+
+
+def leaf_exclusive_counts(
+    reads: np.ndarray,
+    read_lens: np.ndarray,
+    ref_seqs: np.ndarray,
+    ref_lens: np.ndarray,
+    tables: TaxonomyTables,
+    cfg: PipelineConfig,
+) -> Dict[int, np.ndarray]:
+    """{leaf: (ref_len, 4) int32} pileup of reads binned EXACTLY at each leaf
+    vs the ORIGINAL reference index (same hash geometry as round 0, so the
+    alignments are bit-identical to the discovery round's)."""
+    index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
+    res = align_reads(reads, read_lens, ref_seqs, index, cfg)
+    bins = bin_reads(res, tables, cfg)
+    col_map = build_col_maps(ref_seqs, ref_lens, tables.ref_taxon)
+    refc = np.clip(res.ref, 0, ref_seqs.shape[0] - 1)
+    rc = res.ref_col
+    proj = np.where(
+        rc >= 0,
+        col_map[refc[:, None], np.clip(rc, 0, ref_seqs.shape[1] - 1)],
+        -1,
+    ).astype(np.int32)
+    counts: Dict[int, np.ndarray] = {}
+    for leaf in np.unique(tables.ref_taxon).tolist():
+        sel = bins == leaf
+        counts[int(leaf)] = bin_pileup(
+            res.query[sel], proj[sel], ref_seqs.shape[1])
+    return counts
+
+
+def apply_polish(genes: List, counts: Dict[int, np.ndarray],
+                 col_map: np.ndarray, cfg: PipelineConfig):
+    """Override gene bases where the leaf-exclusive vote is deep and decisive.
+
+    col_map: the FINAL panel's column maps (gene base i -> global column).
+    Returns (new_genes, n_changed)."""
+    out = []
+    changed = 0
+    for gi, g in enumerate(genes):
+        c_leaf = counts.get(int(g.taxon))
+        if c_leaf is None:
+            out.append(g)
+            continue
+        ref_len = c_leaf.shape[0]
+        L = g.seq.shape[0]
+        gcols = col_map[gi, g.offset: g.offset + L]          # global coords
+        c = c_leaf[np.clip(gcols, 0, ref_len - 1)]           # (L, 4)
+        tot = c.sum(axis=1)
+        srt = np.sort(c, axis=1)
+        top = np.argmax(c, axis=1).astype(np.int8)           # ties -> lowest
+        # VARIANT columns belong to the loop's clustering, not to polish: a
+        # column polymorphic within the leaf's own reads (same thresholds as
+        # cluster.polymorphic_cols) must keep each variant gene's call, or a
+        # 2:1-abundance strain pair would have the minor gene overwritten
+        minor = tot - srt[:, -1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mfrac = np.where(tot > 0, minor / np.maximum(tot, 1), 0.0)
+        is_poly = (minor >= cfg.poly_min_minor_count) & (
+            mfrac >= cfg.poly_min_minor_frac)
+        ok = (
+            (gcols >= 0)
+            & (gcols < ref_len)
+            & ~is_poly
+            & (tot >= cfg.polish_min_depth)
+            & (srt[:, -1] > srt[:, -2])
+            & (srt[:, -1] * cfg.polish_maj_den >= cfg.polish_maj_num * tot)
+        )
+        seq = np.where(ok, top, g.seq).astype(np.int8)
+        nch = int((seq != g.seq).sum())
+        changed += nch
+        out.append(dataclasses.replace(g, seq=seq) if nch else g)
+    return out, changed
+
+
+def polish_genes(
+    reads: np.ndarray,
+    read_lens: np.ndarray,
+    ref_seqs: np.ndarray,
+    ref_lens: np.ndarray,
+    genes: List,
+    tables: TaxonomyTables,
+    cfg: PipelineConfig,
+    counts: Optional[Dict[int, np.ndarray]] = None,
+):
+    """Leaf-exclusive polish of the final panel. `counts` may be supplied by
+    a caller that retained the round-0 node pileups (the device path does);
+    otherwise they are recomputed bit-identically. Returns (genes, changed)."""
+    from rambl_tpu.oracle.pipeline import pad_panel, panel_tables
+
+    if not genes:
+        return genes, 0
+    if counts is None:
+        counts = leaf_exclusive_counts(
+            reads, read_lens, ref_seqs, ref_lens, tables, cfg)
+    pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
+    ptab = panel_tables(genes, tables)
+    col_map = build_col_maps(pseqs, plens, ptab.ref_taxon)
+    return apply_polish(genes, counts, col_map, cfg)

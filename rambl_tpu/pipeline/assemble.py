@@ -120,6 +120,8 @@ _cluster_consensus_round0 = functools.partial(jax.jit, static_argnames=("cfg",))
 )
 
 
+
+
 # --------------------------------------------------------------------------
 # host driver
 # --------------------------------------------------------------------------
@@ -232,18 +234,22 @@ def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
 
 def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
                        round_idx=0, orig_taxon_of_node=None, index=None,
-                       n_bits=None):
+                       n_bits=None, aux_out=None):
     """Device version of oracle.pipeline.assemble_round.
 
     `index` lets cohort runs share one prebuilt Greengenes index across
     samples (BASELINE.json config 4); `n_bits` pins the hash-table geometry
-    so successive rounds reuse one compiled align executable.
+    so successive rounds reuse one compiled align executable. `aux_out`, if a
+    dict, receives the node-space pileup accumulator ("node_counts") for the
+    final polish pass (see polish_jax).
     """
     if index is None:
         index = build_seed_index(ref_seqs, ref_lens, k=cfg.k, n_bits=n_bits)
     rec, counts, span_diff, read_count = _stream_align(
         reads, lens, index, ref_seqs, ref_lens, tables, cfg
     )
+    if aux_out is not None:
+        aux_out["node_counts"] = counts
     leaves = np.unique(tables.ref_taxon)
     # pad the leaf list to a bucket size so successive rounds (whose leaf
     # counts drift) reuse one compiled executable; duplicate pad leaves
@@ -272,6 +278,60 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     genes = _dedupe_cap(genes, cfg)
     stats["genes"] = len(genes)
     return genes, stats
+
+
+def _pad_panel_bucket(pseqs, plens, ptab, cfg):
+    """Pad a panel to a gene-count bucket (shared compiled executables across
+    rounds; pad refs are all-N and inert). Returns (pseqs, plens, ptab, G)."""
+    G = pseqs.shape[0]
+    gb = max(32, -(-G // 32) * 32)
+    if gb != G:
+        pseqs = np.concatenate(
+            [pseqs, np.full((gb - G, pseqs.shape[1]), 4, np.int8)])
+        plens = np.concatenate([plens, np.zeros(gb - G, np.int32)])
+        ptab = TaxonomyTables(
+            anc_path=ptab.anc_path, depth=ptab.depth,
+            ref_taxon=np.concatenate(
+                [ptab.ref_taxon, np.full(gb - G, ptab.ref_taxon[0], np.int32)]),
+            n_nodes=ptab.n_nodes,
+        )
+    return pseqs, plens, ptab, G
+
+
+def _panel_bits(cfg):
+    return max(8, int(np.ceil(np.log2(2 * cfg.max_genes * cfg.ref_len_max + 1))))
+
+
+def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
+               cfg: PipelineConfig, node_counts=None, shared_index=None):
+    """Device polish pass (see oracle.polish): leaf-exclusive re-vote of the
+    final panel from round-0 node pileups. The node-space accumulator built
+    during the discovery round IS the per-leaf exclusive pileup (reads scatter
+    at their exact bin node; ancestor chaining only happens later), so when
+    the caller retained it no extra device work is needed; otherwise one
+    align stream vs the original index recomputes it bit-identically.
+    Returns (genes, n_changed)."""
+    from rambl_tpu.index.colmap import build_col_maps
+    from rambl_tpu.oracle.pipeline import pad_panel, panel_tables
+    from rambl_tpu.oracle.polish import apply_polish
+
+    if not genes:
+        return genes, 0
+    if node_counts is None:
+        index = shared_index if shared_index is not None else build_seed_index(
+            ref_seqs, ref_lens, k=cfg.k)
+        _, counts, _, _ = _stream_align(
+            reads, lens, index, ref_seqs, ref_lens, tables, cfg)
+        node_counts = np.asarray(counts)
+    else:
+        node_counts = np.asarray(node_counts)
+    counts_dict = {
+        int(l): node_counts[int(l)] for l in np.unique(tables.ref_taxon)
+    }
+    pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
+    ptab = panel_tables(genes, tables)
+    col_map = build_col_maps(pseqs, plens, ptab.ref_taxon)
+    return apply_polish(genes, counts_dict, col_map, cfg)
 
 
 def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
@@ -305,44 +365,32 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     )
 
     round_stats = []
+    aux = {} if cfg.polish else None
     if initial_panel is None:
         genes, stats = assemble_round_jax(
             reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
-            index=shared_index,
+            index=shared_index, aux_out=aux,
         )
         round_stats.append(stats)
     else:
         genes = list(initial_panel)
+        aux = None  # resumed: polish recomputes round-0 pileups
         round_stats.append(dict(round=0, resumed=True, genes=len(genes)))
     seen = {tuple(sorted(g.key() for g in genes))}
     converged = False
     for it in range(1, cfg.max_assembly_iters):
         if not genes:
             break
-        pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
-        ptab = panel_tables(genes, tables)
         # pad the panel ref count to a bucket so every round's align step
         # reuses one compiled executable (pad refs are all-N: no k-mers, no
-        # candidates, no reads - outputs are unchanged)
-        G = len(genes)
-        gb = max(32, -(-G // 32) * 32)
-        if gb != G:
-            pseqs = np.concatenate(
-                [pseqs, np.full((gb - G, pseqs.shape[1]), 4, np.int8)])
-            plens = np.concatenate([plens, np.zeros(gb - G, np.int32)])
-            ptab = TaxonomyTables(
-                anc_path=ptab.anc_path, depth=ptab.depth,
-                ref_taxon=np.concatenate(
-                    [ptab.ref_taxon,
-                     np.full(gb - G, ptab.ref_taxon[0], np.int32)]),
-                n_nodes=ptab.n_nodes,
-            )
-        # fixed hash geometry for all panel rounds (one align compile)
-        panel_bits = max(
-            8, int(np.ceil(np.log2(2 * cfg.max_genes * cfg.ref_len_max + 1))))
+        # candidates, no reads - outputs are unchanged); fixed hash geometry
+        # for all panel rounds (one align compile)
+        pseqs, plens, ptab, _ = _pad_panel_bucket(
+            *pad_panel(genes, ref_seqs.shape[1]), panel_tables(genes, tables),
+            cfg)
         genes, stats = assemble_round_jax(
             reads, lens, pseqs, plens, ptab, cfg, round_idx=it,
-            n_bits=panel_bits,
+            n_bits=_panel_bits(cfg),
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))
@@ -351,5 +399,14 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             converged = True
             break
         seen.add(new_key)
-    return AssemblyResult(genes=genes, n_rounds=len(round_stats),
-                          converged=converged, round_stats=round_stats)
+    n_rounds = len(round_stats)
+    panel = list(genes)
+    if cfg.polish and genes:
+        genes, n_changed = polish_jax(
+            reads, lens, genes, ref_seqs, ref_lens, tables, cfg,
+            node_counts=(aux or {}).get("node_counts"),
+            shared_index=shared_index)
+        round_stats.append(dict(round="polish", changed=n_changed))
+    return AssemblyResult(genes=genes, n_rounds=n_rounds,
+                          converged=converged, round_stats=round_stats,
+                          panel=panel)

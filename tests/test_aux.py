@@ -110,7 +110,8 @@ def test_resume_from_checkpoint_matches_uninterrupted(small_ds, small_tax, tmp_p
     full = assemble(*args, PipelineConfig(max_assembly_iters=2))
     one = assemble(*args, PipelineConfig(max_assembly_iters=1))
     p = str(tmp_path / "mid.ckpt")
-    save_checkpoint(p, PipelineConfig(), one.genes, 1)
+    # checkpoints hold the PRE-polish loop panel (resume continues the loop)
+    save_checkpoint(p, PipelineConfig(), one.panel, 1)
     _, panel = load_checkpoint(p)
     resumed = assemble(*args, PipelineConfig(max_assembly_iters=2),
                        initial_panel=panel)
