@@ -89,6 +89,26 @@ class PipelineConfig:
     max_assembly_iters: int = 5
     max_genes: int = 64              # max consensus sequences carried per round
     full_len_min: int = 1200         # min length to report a gene "full-length"
+    # ---- minor-haplotype gene (frequency phasing; oracle/pipeline.py) ----
+    # an unequal-abundance strain pair fragments into per-column clusters
+    # (reads cannot link variant columns further apart than a read length);
+    # in a 2-haplotype leaf every CLEAR minor allele belongs to the same
+    # strain, so one extra gene carries the minor allele at every qualifying
+    # column. A column qualifies when its leaf-EXCLUSIVE second allele has
+    # count >= vote_min_abs, a unique identity, and a frequency within
+    # [frac_num/frac_den, max_num/max_den] of the depth - the upper bound
+    # gates out equal-abundance pairs (no frequency signal; clustering owns
+    # those) and the lower bound gates out sequencing errors at high depth.
+    minorhap_min_cols: int = 2
+    minorhap_min_abs: int = 4        # min agreeing minor reads per column
+                                     # (independent 0.4% errors essentially
+                                     # never agree 4 deep; the frac bound
+                                     # dominates at depth >= ~27 anyway)
+    minorhap_max_num: int = 1
+    minorhap_max_den: int = 3
+    minorhap_frac_num: int = 3
+    minorhap_frac_den: int = 20
+
     # ---- polish pass (final leaf-exclusive re-vote; oracle/polish.py) ----
     # a gene base is overridden only by depth >= polish_min_depth votes with a
     # unique winner holding >= maj_num/maj_den of them; mixed strain columns

@@ -182,6 +182,45 @@ def assemble_round(
             genes.append(Gene(seq=seq, n_reads=nk, leaf=int(leaf),
                               cluster=k, round_born=round_idx, taxon=taxon,
                               offset=off))
+        # minor-haplotype gene (frequency phasing): an unequal-abundance
+        # strain pair fragments into per-column clusters (reads cannot link
+        # variant columns >1 read length apart), so the minor strain never
+        # assembles whole. In a 2-haplotype leaf every CLEAR minor allele
+        # belongs to the same strain: one gene carrying the minor allele at
+        # every qualifying column recovers it wholesale. Qualification uses
+        # LEAF-EXCLUSIVE reads (contamination-free) and integer-exact
+        # thresholds; equal-abundance pairs are gated out (no signal).
+        excl = bins == leaf
+        c_ex = bin_pileup(res.query[excl], res.ref_col[excl],
+                          ref_seqs.shape[1])
+        tot_ex = c_ex.sum(axis=1)
+        srt_ex = np.sort(c_ex, axis=1)
+        mm = srt_ex[:, -2]
+        qual = (
+            (tot_ex >= cfg.min_coverage)
+            & (mm >= cfg.minorhap_min_abs)
+            & (mm * cfg.minorhap_max_den <= cfg.minorhap_max_num * tot_ex)
+            & (mm * cfg.minorhap_frac_den >= cfg.minorhap_frac_num * tot_ex)
+            & (srt_ex[:, -2] > srt_ex[:, -3])
+        )
+        if int(qual.sum()) >= cfg.minorhap_min_cols:
+            b1 = np.argmax(c_ex, axis=1)
+            c2 = c_ex.copy()
+            c2[np.arange(c2.shape[0]), b1] = -1
+            b2 = np.argmax(c2, axis=1)                 # unique where qual
+            counts_mh = counts_all.copy()
+            qc = np.nonzero(qual)[0]
+            counts_mh[qc] = 0
+            counts_mh[qc, b2[qc]] = counts_all[qc].sum(axis=1)
+            seq, off = call_consensus(counts_mh, span_all)
+            nk_mh = int(mm[qual].min())
+            if seq.shape[0] and nk_mh >= cfg.min_cluster_reads:
+                taxon = (int(leaf) if orig_taxon_of_node is None
+                         else int(orig_taxon_of_node[leaf]))
+                genes.append(Gene(
+                    seq=seq, n_reads=nk_mh, leaf=int(leaf),
+                    cluster=cfg.max_clusters_per_bin, round_born=round_idx,
+                    taxon=taxon, offset=off))
     # dedupe identical sequences: keep the one with most reads
     # (ties -> earliest in (leaf asc, cluster asc) order, which is list order)
     bykey: dict[bytes, Gene] = {}

@@ -106,7 +106,7 @@ def make_cluster_step(mesh, cfg: PipelineConfig):
             anc_path, depth, cfg,
         )
 
-    from rambl_tpu.pipeline.consensus import ConsensusOut
+    from rambl_tpu.pipeline.consensus import ConsensusOut, MinorHap
 
     repl = P()
     data = P(DATA_AXIS)
@@ -115,6 +115,7 @@ def make_cluster_step(mesh, cfg: PipelineConfig):
         ConsensusOut(called=data, emit=data, n_reads=data),
         data,                # kact
         data,                # n_mem
+        MinorHap(called=data, emit=data, n_reads=data, n_cols=data),
     )
     return jax.jit(
         jax.shard_map(step, mesh=mesh, in_specs=in_specs,

@@ -109,10 +109,15 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     cons = cluster_consensus_leaves(
         qm, rcm, mvalid, dp.assign, pm, leaf_counts, leaf_span, cfg
     )
-    from rambl_tpu.pipeline.consensus import _chain_read_count
+    from rambl_tpu.pipeline.consensus import (
+        _chain_read_count,
+        minor_haplotype_leaves,
+    )
 
+    # node-space counts at the leaf itself = leaf-EXCLUSIVE pileup
+    mh = minor_haplotype_leaves(counts[leaves], leaf_counts, leaf_span, cfg)
     n_mem = _chain_read_count(read_count, leaves, anc_path, depth)
-    return cons, dp.kact, n_mem
+    return cons, dp.kact, n_mem, mh
 
 
 _cluster_consensus_round0 = functools.partial(jax.jit, static_argnames=("cfg",))(
@@ -192,8 +197,12 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
 
 
 def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
-                          round_idx, orig_taxon_of_node=None):
-    """Host compaction of consensus tensors into Gene records (oracle order)."""
+                          round_idx, orig_taxon_of_node=None, mh=None):
+    """Host compaction of consensus tensors into Gene records (oracle order).
+
+    mh: optional MinorHap tensors (already host-fetched, leaf-sliced) - one
+    extra frequency-phased gene per qualifying leaf, cluster id
+    cfg.max_clusters_per_bin (after all real clusters, as in the oracle)."""
     genes: List[Gene] = []
     called = np.asarray(called)
     emit = np.asarray(emit)
@@ -203,6 +212,8 @@ def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
     for li, leaf in enumerate(np.asarray(leaves).tolist()):
         if n_mem[li] < cfg.min_cluster_reads:
             continue
+        taxon = (int(leaf) if orig_taxon_of_node is None
+                 else int(orig_taxon_of_node[leaf]))
         for k in range(int(kact[li])):
             if nk[li, k] < cfg.min_cluster_reads:
                 continue
@@ -211,11 +222,18 @@ def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
             if seq.shape[0] == 0:
                 continue
             off = int(np.argmax(em))  # first emitted column
-            taxon = (int(leaf) if orig_taxon_of_node is None
-                     else int(orig_taxon_of_node[leaf]))
             genes.append(Gene(seq=seq, n_reads=int(nk[li, k]), leaf=int(leaf),
                               cluster=k, round_born=round_idx, taxon=taxon,
                               offset=off))
+        if mh is not None and int(mh.n_cols[li]) >= cfg.minorhap_min_cols:
+            em = np.asarray(mh.emit[li])
+            seq = np.asarray(mh.called[li])[em].astype(np.int8)
+            nk_mh = int(mh.n_reads[li])
+            if seq.shape[0] and nk_mh >= cfg.min_cluster_reads:
+                genes.append(Gene(
+                    seq=seq, n_reads=nk_mh, leaf=int(leaf),
+                    cluster=cfg.max_clusters_per_bin, round_born=round_idx,
+                    taxon=taxon, offset=int(np.argmax(em))))
     return genes
 
 
@@ -258,16 +276,17 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     bucket = max(8, -(-NL // 8) * 8)
     leaves_p = np.concatenate(
         [leaves, np.full(bucket - NL, leaves[0], leaves.dtype)])
-    cons, kact, n_mem = _cluster_consensus_round0(
+    cons, kact, n_mem, mh = _cluster_consensus_round0(
         jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
         jnp.asarray(rec["bins"]), counts, span_diff, read_count,
         jnp.asarray(leaves_p), jnp.asarray(tables.anc_path),
         jnp.asarray(tables.depth), cfg,
     )
+    mh = type(mh)(*(np.asarray(x)[:NL] for x in mh))
     genes = _genes_from_consensus(
         np.asarray(cons.called)[:NL], np.asarray(cons.emit)[:NL],
         np.asarray(cons.n_reads)[:NL], np.asarray(kact)[:NL], leaves,
-        np.asarray(n_mem)[:NL], cfg, round_idx, orig_taxon_of_node,
+        np.asarray(n_mem)[:NL], cfg, round_idx, orig_taxon_of_node, mh=mh,
     )
     stats = dict(
         round=round_idx,

@@ -137,6 +137,51 @@ def cluster_consensus_leaves(
     return ConsensusOut(called=called, emit=emit, n_reads=nk)
 
 
+class MinorHap(NamedTuple):
+    """Per-leaf minor-haplotype consensus (frequency phasing; see
+    oracle.pipeline's minor-haplotype rule and config.minorhap_*)."""
+
+    called: jax.Array   # (NL, ref_len) int8
+    emit: jax.Array     # (NL, ref_len) bool
+    n_reads: jax.Array  # (NL,) int32 min qualifying minor depth
+    n_cols: jax.Array   # (NL,) int32 qualifying columns
+
+
+def minor_haplotype_leaves(
+    excl_counts: jax.Array,   # (NL, ref_len, 4) leaf-EXCLUSIVE pileup
+    leaf_counts: jax.Array,   # (NL, ref_len, 4) chain-merged backbone
+    leaf_span: jax.Array,     # (NL, ref_len)
+    cfg: PipelineConfig,
+) -> MinorHap:
+    """Device twin of the oracle's minor-haplotype gene: substitute the
+    leaf-exclusive second allele at every qualifying column of the backbone
+    consensus. All thresholds integer-exact."""
+    tot_ex = excl_counts.sum(axis=-1)
+    srt = jnp.sort(excl_counts, axis=-1)
+    mm = srt[..., -2]
+    qual = (
+        (tot_ex >= cfg.min_coverage)
+        & (mm >= cfg.minorhap_min_abs)
+        & (mm * cfg.minorhap_max_den <= cfg.minorhap_max_num * tot_ex)
+        & (mm * cfg.minorhap_frac_den >= cfg.minorhap_frac_num * tot_ex)
+        & (srt[..., -2] > srt[..., -3])
+    )
+    b1 = jnp.argmax(excl_counts, axis=-1)
+    lanes = jnp.arange(4, dtype=jnp.int32)
+    c2 = jnp.where(lanes == b1[..., None], -1, excl_counts)
+    b2 = jnp.argmax(c2, axis=-1)                       # unique where qual
+    tot_all = leaf_counts.sum(axis=-1)
+    counts_mh = jnp.where(
+        qual[..., None],
+        jnp.where(lanes == b2[..., None], tot_all[..., None], 0),
+        leaf_counts,
+    )
+    called, emit = call_consensus_jax(counts_mh, leaf_span)
+    n_cols = qual.sum(axis=-1).astype(jnp.int32)
+    n_reads = jnp.where(qual, mm, 1 << 30).min(axis=-1).astype(jnp.int32)
+    return MinorHap(called=called, emit=emit, n_reads=n_reads, n_cols=n_cols)
+
+
 def _chain_read_count(read_count, nodes, anc_path, depth):
     """Reads binned anywhere on each node's ancestor chain (leaf membership
     count without materializing per-read masks)."""

@@ -46,7 +46,7 @@ def test_leaf_sharded_cluster_matches(small_ds, small_index, small_tax, cfg):
     anc = jnp.asarray(small_tax.anc_path)
     dep = jnp.asarray(small_tax.depth)
 
-    cons1, kact1, nmem1 = cluster_round0_core(
+    cons1, kact1, nmem1, mh1 = cluster_round0_core(
         res.query, res.ref_col, bins, counts, span, read_count,
         jnp.asarray(leaves_p), anc, dep, cfg,
     )
@@ -55,7 +55,7 @@ def test_leaf_sharded_cluster_matches(small_ds, small_index, small_tax, cfg):
     step = make_cluster_step(mesh, cfg)
     args_r = [put_replicated(np.asarray(x), mesh) for x in
               (res.query, res.ref_col, bins, counts, span, read_count)]
-    cons2, kact2, nmem2 = step(
+    cons2, kact2, nmem2, mh2 = step(
         *args_r, put_sharded(leaves_p, mesh), put_replicated(np.asarray(anc), mesh),
         put_replicated(np.asarray(dep), mesh),
     )
@@ -68,3 +68,5 @@ def test_leaf_sharded_cluster_matches(small_ds, small_index, small_tax, cfg):
         np.asarray(cons1.emit)[:NL], np.asarray(cons2.emit)[:NL])
     np.testing.assert_array_equal(
         np.asarray(cons1.n_reads)[:NL], np.asarray(cons2.n_reads)[:NL])
+    for a, b in zip(mh1, mh2):
+        np.testing.assert_array_equal(np.asarray(a)[:NL], np.asarray(b)[:NL])
