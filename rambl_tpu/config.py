@@ -119,6 +119,11 @@ class PipelineConfig:
     polish_maj_den: int = 3
 
     # ---- batching / parallelism ----
+    # node pileups switch from the dense (n_nodes, ref_len, 4) accumulator to
+    # slot-compacted active-node accumulators above this node count (a
+    # full-Greengenes taxonomy would need terabytes dense; a sample only
+    # touches its active leaves' ancestor chains) - pipeline/pileup.py
+    pileup_slot_nodes: int = 4096
     max_bin_reads: int = 4096        # member cap per leaf bin for clustering
                                      # (pileups are never capped; features /
                                      # cluster scatter use the first cap

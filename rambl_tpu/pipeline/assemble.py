@@ -33,7 +33,6 @@ from rambl_tpu.pipeline.binning import bin_batch
 from rambl_tpu.pipeline.cluster import (
     dp_means_leaves,
     leaf_features,
-    member_table,
     sorted_col_base,
 )
 from rambl_tpu.pipeline.consensus import cluster_consensus_leaves
@@ -78,13 +77,43 @@ def _pileup_accum(query, ref_col, bins, counts, span_diff, read_count,
     return counts + c, span_diff + s, read_count + rc
 
 
+@functools.partial(jax.jit, static_argnames=("n_nodes",))
+def _read_count_accum(bins, read_count, n_nodes: int):
+    return read_count + jnp.zeros((n_nodes + 1,), jnp.int32).at[
+        jnp.where(bins >= 0, bins, n_nodes)
+    ].add(1)[:-1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "ref_len"))
+def _slot_pileup(query, ref_col, bins, node2slot, n_slots: int, ref_len: int):
+    from rambl_tpu.pipeline.pileup import node_slot_pileup
+
+    return node_slot_pileup(query, ref_col, bins, node2slot, n_slots, ref_len)
+
+
 def cluster_round0_core(query, ref_col, bins, counts, span_diff,
                         read_count, leaves, anc_path, depth,
-                        cfg: PipelineConfig):
+                        cfg: PipelineConfig, node2slot=None):
     """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
     used single-device and leaf-sharded under shard_map - the EP analogue of
-    SURVEY.md section 2.3: bins are the 'experts')."""
-    leaf_counts, leaf_span = leaf_pileup(counts, span_diff, leaves, anc_path, depth)
+    SURVEY.md section 2.3: bins are the 'experts').
+
+    node2slot switches the pileup accumulators to slot-compacted active-node
+    space (full-Greengenes-scale taxonomies; see pipeline.pileup) - bitwise
+    identical where slots exist."""
+    from rambl_tpu.pipeline.pileup import leaf_pileup_slots
+
+    if node2slot is None:
+        leaf_counts, leaf_span = leaf_pileup(
+            counts, span_diff, leaves, anc_path, depth)
+        excl_counts = counts[leaves]
+    else:
+        leaf_counts, leaf_span = leaf_pileup_slots(
+            counts, span_diff, node2slot, leaves, anc_path, depth)
+        ls = node2slot[leaves]
+        excl_counts = jnp.where(
+            (ls >= 0)[:, None, None],
+            counts[jnp.clip(ls, 0, counts.shape[0] - 1)], 0)
     ref_len = counts.shape[1]
     # consensus mask is UNCAPPED (capping would crowd out late discriminating
     # columns); the feature columns below take the first max_poly_cols of it
@@ -98,7 +127,15 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     pol_valid = pol_cols < _BIG
     pol_cols = jnp.where(pol_valid, pol_cols, 0)
 
-    midx, mvalid = member_table(bins, leaves, anc_path, depth, cfg.max_bin_reads)
+    # range-based membership (O(NL*D*M), not O(NL*B)): bit-identical to the
+    # dense member_table (tests/test_scale_paths.py); width capped at B so
+    # small runs keep their dense-era shapes
+    from rambl_tpu.pipeline.cluster import bin_sort, member_table_ranges
+
+    order, nstart, nend = bin_sort(bins, anc_path.shape[0])
+    midx, mvalid = member_table_ranges(
+        order, nstart, nend, leaves, anc_path, depth,
+        min(cfg.max_bin_reads, bins.shape[0]))
     cs, bs = sorted_col_base(query, ref_col)
     feat = leaf_features(cs, bs, midx, mvalid, pol_cols, pol_valid)
     can_seed = (bins[midx] == leaves[:, None]) & mvalid  # leaf-exclusive only
@@ -115,7 +152,7 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     )
 
     # node-space counts at the leaf itself = leaf-EXCLUSIVE pileup
-    mh = minor_haplotype_leaves(counts[leaves], leaf_counts, leaf_span, cfg)
+    mh = minor_haplotype_leaves(excl_counts, leaf_counts, leaf_span, cfg)
     n_mem = _chain_read_count(read_count, leaves, anc_path, depth)
     return cons, dp.kact, n_mem, mh
 
@@ -169,8 +206,14 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
     ref_len = ref_seqs.shape[1]
 
     padded, plens, nb, B = _pad_batches(reads, lens, cfg.batch_size)
-    counts = jnp.zeros((n_nodes, ref_len, 4), jnp.int32)
-    span_diff = jnp.zeros((n_nodes, ref_len + 1), jnp.int32)
+    dense = n_nodes <= cfg.pileup_slot_nodes
+    if dense:
+        counts = jnp.zeros((n_nodes, ref_len, 4), jnp.int32)
+        span_diff = jnp.zeros((n_nodes, ref_len + 1), jnp.int32)
+    else:
+        # slot-compacted mode: the dense accumulators are never allocated;
+        # the caller scatters into active-node slots after this pass
+        counts = span_diff = None
     read_count = jnp.zeros((n_nodes,), jnp.int32)
 
     # per-read outputs stay ON DEVICE (no per-batch host fetch - the host
@@ -183,9 +226,12 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
             padded[sl], plens[sl], table.bucket_start, table.entries,
             ref_seqs_d, rt, anc, dep, col_map, cfg, index.n_bits,
         )
-        counts, span_diff, read_count = _pileup_accum(
-            q, rc, b, counts, span_diff, read_count, cfg, n_nodes, ref_len
-        )
+        if dense:
+            counts, span_diff, read_count = _pileup_accum(
+                q, rc, b, counts, span_diff, read_count, cfg, n_nodes, ref_len
+            )
+        else:
+            read_count = _read_count_accum(b, read_count, n_nodes)
         for k, v in zip(("query", "ref_col", "bins", "score", "ref", "strand"),
                         (q, rc, b, sc, rf, st)):
             outs[k].append(v)
@@ -266,9 +312,44 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     rec, counts, span_diff, read_count = _stream_align(
         reads, lens, index, ref_seqs, ref_lens, tables, cfg
     )
-    if aux_out is not None:
-        aux_out["node_counts"] = counts
-    leaves = np.unique(tables.ref_taxon)
+    node2slot_d = None
+    if counts is None:
+        # slot-compacted active-node mode (n_nodes > cfg.pileup_slot_nodes):
+        # active leaves chosen by chain read count, slots for nodes on their
+        # ancestor chains that hold reads; one scatter pass builds the
+        # compacted accumulators. Inactive leaves produce no genes in the
+        # dense path either (n_mem < min_cluster_reads), so outputs match.
+        rc_host = np.asarray(read_count)
+        anc = tables.anc_path
+        leaves_all = np.unique(tables.ref_taxon)
+        dd = np.arange(anc.shape[1])
+        usem = dd[None, :] <= tables.depth[leaves_all][:, None]
+        n_mem_leaf = (rc_host[anc[leaves_all]] * usem).sum(axis=1)
+        leaves = leaves_all[n_mem_leaf >= cfg.min_cluster_reads]
+        stats0 = dict(round=round_idx,
+                      aligned=int((np.asarray(rec["bins"]) >= 0).sum()),
+                      n_leaves=int(leaves.size), genes=0)
+        if leaves.size == 0:
+            return [], stats0
+        need = np.zeros(tables.n_nodes, bool)
+        for d in range(anc.shape[1]):
+            need[anc[leaves, d]] = True
+        need &= rc_host > 0
+        ids = np.nonzero(need)[0].astype(np.int32)
+        node2slot = np.full(tables.n_nodes, -1, np.int32)
+        node2slot[ids] = np.arange(ids.size, dtype=np.int32)
+        n_slots = max(64, -(-max(ids.size, 1) // 64) * 64)
+        node2slot_d = jnp.asarray(node2slot)
+        counts, span_diff = _slot_pileup(
+            jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+            jnp.asarray(rec["bins"]), node2slot_d, n_slots,
+            ref_seqs.shape[1])
+        if aux_out is not None:
+            aux_out["slot_counts"] = (counts, node2slot)
+    else:
+        leaves = np.unique(tables.ref_taxon)
+        if aux_out is not None:
+            aux_out["node_counts"] = counts
     # pad the leaf list to a bucket size so successive rounds (whose leaf
     # counts drift) reuse one compiled executable; duplicate pad leaves
     # produce byte-identical genes that dedupe away
@@ -280,7 +361,7 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
         jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
         jnp.asarray(rec["bins"]), counts, span_diff, read_count,
         jnp.asarray(leaves_p), jnp.asarray(tables.anc_path),
-        jnp.asarray(tables.depth), cfg,
+        jnp.asarray(tables.depth), cfg, node2slot_d,
     )
     mh = type(mh)(*(np.asarray(x)[:NL] for x in mh))
     genes = _genes_from_consensus(
@@ -322,13 +403,15 @@ def _panel_bits(cfg):
 
 
 def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
-               cfg: PipelineConfig, node_counts=None, shared_index=None):
+               cfg: PipelineConfig, node_counts=None, slot_counts=None,
+               shared_index=None):
     """Device polish pass (see oracle.polish): leaf-exclusive re-vote of the
     final panel from round-0 node pileups. The node-space accumulator built
     during the discovery round IS the per-leaf exclusive pileup (reads scatter
     at their exact bin node; ancestor chaining only happens later), so when
-    the caller retained it no extra device work is needed; otherwise one
-    align stream vs the original index recomputes it bit-identically.
+    the caller retained it (dense `node_counts` or slot-compacted
+    `slot_counts`) no extra device work is needed; otherwise one align stream
+    vs the original index recomputes it bit-identically.
     Returns (genes, n_changed)."""
     from rambl_tpu.index.colmap import build_col_maps
     from rambl_tpu.oracle.pipeline import pad_panel, panel_tables
@@ -336,17 +419,41 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
 
     if not genes:
         return genes, 0
-    if node_counts is None:
+    ref_len = ref_seqs.shape[1]
+    if node_counts is None and slot_counts is None:
         index = shared_index if shared_index is not None else build_seed_index(
             ref_seqs, ref_lens, k=cfg.k)
-        _, counts, _, _ = _stream_align(
+        rec, counts, _, read_count = _stream_align(
             reads, lens, index, ref_seqs, ref_lens, tables, cfg)
-        node_counts = np.asarray(counts)
-    else:
+        if counts is not None:
+            node_counts = np.asarray(counts)
+        else:
+            # slot-mode recompute: only the gene taxa need counts
+            rc_host = np.asarray(read_count)
+            taxa = np.unique([g.taxon for g in genes]).astype(np.int64)
+            ids = taxa[rc_host[taxa] > 0].astype(np.int32)
+            node2slot = np.full(tables.n_nodes, -1, np.int32)
+            node2slot[ids] = np.arange(ids.size, dtype=np.int32)
+            n_slots = max(64, -(-max(ids.size, 1) // 64) * 64)
+            counts_s, _ = _slot_pileup(
+                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                jnp.asarray(rec["bins"]), jnp.asarray(node2slot), n_slots,
+                ref_len)
+            slot_counts = (counts_s, node2slot)
+    if node_counts is not None:
         node_counts = np.asarray(node_counts)
-    counts_dict = {
-        int(l): node_counts[int(l)] for l in np.unique(tables.ref_taxon)
-    }
+        counts_dict = {
+            int(l): node_counts[int(l)] for l in np.unique(tables.ref_taxon)
+        }
+    else:
+        counts_s, node2slot = slot_counts
+        counts_s = np.asarray(counts_s)
+        zeros = np.zeros((ref_len, 4), np.int32)
+        counts_dict = {
+            int(l): (counts_s[node2slot[int(l)]]
+                     if node2slot[int(l)] >= 0 else zeros)
+            for l in np.unique([g.taxon for g in genes])
+        }
     pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
     ptab = panel_tables(genes, tables)
     col_map = build_col_maps(pseqs, plens, ptab.ref_taxon)
@@ -424,6 +531,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
         genes, n_changed = polish_jax(
             reads, lens, genes, ref_seqs, ref_lens, tables, cfg,
             node_counts=(aux or {}).get("node_counts"),
+            slot_counts=(aux or {}).get("slot_counts"),
             shared_index=shared_index)
         round_stats.append(dict(round="polish", changed=n_changed))
     return AssemblyResult(genes=genes, n_rounds=n_rounds,

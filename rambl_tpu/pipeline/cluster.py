@@ -55,6 +55,59 @@ def member_table(
     return idx, valid
 
 
+def bin_sort(bins: jax.Array, n_nodes: int):
+    """Sort reads by bin node for range-based membership.
+
+    Returns (order (B,) int32 read indices sorted by (bin, read idx),
+             node_start (n_nodes,), node_end (n_nodes,)) - the contiguous
+    range of sorted positions holding each node's reads. Unaligned reads
+    (bin -1) sort first and fall outside every node range."""
+    order = jnp.argsort(bins, stable=True).astype(jnp.int32)
+    bins_sorted = bins[order]
+    nodes = jnp.arange(n_nodes, dtype=bins.dtype)
+    node_start = jnp.searchsorted(bins_sorted, nodes, side="left").astype(jnp.int32)
+    node_end = jnp.searchsorted(bins_sorted, nodes, side="right").astype(jnp.int32)
+    return order, node_start, node_end
+
+
+def member_table_ranges(
+    order: jax.Array,       # (B,) from bin_sort
+    node_start: jax.Array,  # (n_nodes,)
+    node_end: jax.Array,    # (n_nodes,)
+    leaves: jax.Array,      # (NL,)
+    anc_path: jax.Array,
+    depth: jax.Array,
+    max_members: int,
+):
+    """member_table without the (NL, B) mask: a leaf's members are the union
+    of its <= MAX_DEPTH ancestor-node ranges in the bin-sorted read order.
+    Each range is ascending in read index (stable sort), so the first
+    max_members of the merged union == member_table's. O(NL * D * M) instead
+    of O(NL * B) - the member path for full-Greengenes-scale taxonomies."""
+    B = order.shape[0]
+    M = max_members
+    paths = anc_path[leaves]                              # (NL, D)
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    use = dd[None, :] <= depth[leaves][:, None]           # (NL, D)
+    # a node may repeat on a padded path; count each range once
+    first = jnp.ones_like(paths, dtype=bool)
+    for d in range(1, paths.shape[1]):
+        dup = (paths[:, d:d + 1] == paths[:, :d]).any(axis=1)
+        first = first.at[:, d].set(~dup)
+    use = use & first
+    starts = node_start[paths]                            # (NL, D)
+    cnt = jnp.where(use, node_end[paths] - starts, 0)     # (NL, D)
+    k = jnp.arange(M, dtype=jnp.int32)
+    pos = starts[:, :, None] + k[None, None, :]           # (NL, D, M)
+    valid = k[None, None, :] < cnt[:, :, None]
+    cand = jnp.where(
+        valid, order[jnp.clip(pos, 0, B - 1)], _BIG
+    ).reshape(paths.shape[0], -1)                         # (NL, D*M)
+    sortedk = jax.lax.sort(cand, dimension=1)[:, :M]
+    ok = sortedk < _BIG
+    return jnp.where(ok, sortedk, 0), ok
+
+
 def sorted_col_base(query: jax.Array, ref_col: jax.Array):
     """Per-read (cols_sorted, base_sorted) for binary-search lookups.
 

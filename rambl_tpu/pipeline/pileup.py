@@ -90,6 +90,50 @@ def leaf_pileup(
     return leaf_counts.astype(jnp.int32), leaf_span.astype(jnp.int32)
 
 
+def node_slot_pileup(
+    query: jax.Array,
+    ref_col: jax.Array,
+    bins: jax.Array,
+    node2slot: jax.Array,   # (n_nodes,) int32 slot id or -1 (inactive)
+    n_slots: int,
+    ref_len: int,
+):
+    """node_pileup into a COMPACTED slot space.
+
+    The dense (n_nodes, ref_len, 4) tensor is infeasible for a
+    full-Greengenes-sized taxonomy (BASELINE configs 3/5: ~1e5-1e6 nodes x
+    2048 cols would be terabytes); a sample only touches the nodes on its
+    ACTIVE leaves' ancestor chains, so those get slots and everything else
+    drops (reads at slotless nodes cannot contribute to any emitted leaf).
+    Bit-identical to node_pileup restricted to slotted nodes."""
+    slot = node2slot[jnp.clip(bins, 0, node2slot.shape[0] - 1)]
+    slot = jnp.where(bins >= 0, slot, -1)
+    return node_pileup(query, ref_col, slot, n_slots, ref_len)
+
+
+def leaf_pileup_slots(
+    counts_s: jax.Array,     # (n_slots, ref_len, 4)
+    span_s: jax.Array,       # (n_slots, ref_len+1)
+    node2slot: jax.Array,    # (n_nodes,) int32
+    leaves: jax.Array,       # (NL,)
+    anc_path: jax.Array,
+    depth: jax.Array,
+):
+    """leaf_pileup over slot-compacted accumulators (chain nodes without a
+    slot contribute zero, exactly like zero-count nodes in the dense path)."""
+    paths = anc_path[leaves]                     # (NL, D)
+    slots = node2slot[paths]                     # (NL, D)
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    use = (dd[None, :] <= depth[leaves][:, None]) & (slots >= 0)
+    sidx = jnp.clip(slots, 0, counts_s.shape[0] - 1)
+    c = counts_s[sidx]                           # (NL, D, ref_len, 4)
+    leaf_counts = jnp.sum(c * use[:, :, None, None], axis=1)
+    s = span_s[sidx]                             # (NL, D, ref_len+1)
+    leaf_span_diff = jnp.sum(s * use[:, :, None], axis=1)
+    leaf_span = jnp.cumsum(leaf_span_diff[:, :-1], axis=1)
+    return leaf_counts.astype(jnp.int32), leaf_span.astype(jnp.int32)
+
+
 def polymorphic_mask(
     leaf_counts: jax.Array,  # (NL, ref_len, 4)
     min_coverage: int,

@@ -48,7 +48,7 @@ def main():
         if cont > 0.95:
             recovered.add(best)
     n_full = len(res.full_length(cfg))
-    aligns = sum(s["aligned"] for s in res.round_stats)
+    aligns = sum(s.get("aligned", 0) for s in res.round_stats)
     print(f"wall {wall:.0f}s | rounds {res.n_rounds} converged {res.converged}")
     print(f"genes {len(res.genes)} full-length {n_full} "
           f"recovered>{95}% {len(recovered)}/{ds.n_refs}")

@@ -1,0 +1,141 @@
+"""Scale-path parity: slot-compacted pileups and range-based member tables
+must be bit-identical to the dense implementations they replace (the dense
+(n_nodes, ref_len, 4) tensor and (NL, B) member mask are infeasible at
+full-Greengenes taxonomy scale - BASELINE configs 3/5)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.data.simulate import simulate_dataset
+from rambl_tpu.index.taxonomy import build_taxonomy_tables
+from rambl_tpu.pipeline.cluster import (
+    bin_sort,
+    member_table,
+    member_table_ranges,
+)
+from rambl_tpu.pipeline.pileup import (
+    leaf_pileup,
+    leaf_pileup_slots,
+    node_pileup,
+    node_slot_pileup,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_tax():
+    # root(0) -> a(1), b(2); a -> leaves 3,4 ; b -> leaf 5
+    parent = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    depth = np.array([0, 1, 1, 2, 2, 2], np.int32)
+    ref_taxon = np.array([3, 4, 5], np.int32)
+    return build_taxonomy_tables(parent, depth, ref_taxon)
+
+
+def _random_reads(rng, B, L, n_nodes, ref_len):
+    query = rng.integers(0, 5, size=(B, L)).astype(np.int8)
+    ref_col = np.sort(rng.integers(-1, ref_len, size=(B, L)).astype(np.int32), axis=1)
+    bins = rng.integers(-1, n_nodes, size=(B,)).astype(np.int32)
+    return jnp.asarray(query), jnp.asarray(ref_col), jnp.asarray(bins)
+
+
+def test_member_table_ranges_matches_dense(toy_tax):
+    rng = np.random.default_rng(0)
+    B = 500
+    bins = jnp.asarray(rng.integers(-1, toy_tax.n_nodes, size=(B,)).astype(np.int32))
+    leaves = jnp.asarray(np.array([3, 4, 5], np.int32))
+    anc = jnp.asarray(toy_tax.anc_path)
+    dep = jnp.asarray(toy_tax.depth)
+    for M in (4, 32, 1024):
+        i1, v1 = member_table(bins, leaves, anc, dep, M)
+        order, ns, ne = bin_sort(bins, toy_tax.n_nodes)
+        i2, v2 = member_table_ranges(order, ns, ne, leaves, anc, dep, M)
+        n = min(M, B)   # dense table caps its width at B
+        np.testing.assert_array_equal(np.asarray(v1)[:, :n], np.asarray(v2)[:, :n])
+        np.testing.assert_array_equal(np.asarray(i1)[:, :n], np.asarray(i2)[:, :n])
+        assert not np.asarray(v2)[:, n:].any()
+
+
+def test_slot_pileup_matches_dense(toy_tax):
+    rng = np.random.default_rng(1)
+    ref_len = 64
+    q, rc, bins = _random_reads(rng, 300, 16, toy_tax.n_nodes, ref_len)
+    counts, span = node_pileup(q, rc, bins, toy_tax.n_nodes, ref_len)
+
+    # slots for every node with reads (ascending id = deterministic)
+    own = np.asarray(jnp.zeros(toy_tax.n_nodes, jnp.int32).at[
+        jnp.where(bins >= 0, bins, 0)].add(jnp.where(bins >= 0, 1, 0)))
+    ids = np.nonzero(own > 0)[0]
+    node2slot = np.full(toy_tax.n_nodes, -1, np.int32)
+    node2slot[ids] = np.arange(ids.size, dtype=np.int32)
+    n2s = jnp.asarray(node2slot)
+
+    counts_s, span_s = node_slot_pileup(q, rc, bins, n2s, ids.size, ref_len)
+    np.testing.assert_array_equal(
+        np.asarray(counts)[ids], np.asarray(counts_s))
+    np.testing.assert_array_equal(np.asarray(span)[ids], np.asarray(span_s))
+
+    leaves = jnp.asarray(np.array([3, 4, 5], np.int32))
+    anc = jnp.asarray(toy_tax.anc_path)
+    dep = jnp.asarray(toy_tax.depth)
+    lc1, ls1 = leaf_pileup(counts, span, leaves, anc, dep)
+    lc2, ls2 = leaf_pileup_slots(counts_s, span_s, n2s, leaves, anc, dep)
+    np.testing.assert_array_equal(np.asarray(lc1), np.asarray(lc2))
+    np.testing.assert_array_equal(np.asarray(ls1), np.asarray(ls2))
+
+
+def test_forced_slot_assembly_matches_oracle():
+    """Full device assembly in FORCED slot mode (pileup_slot_nodes=1: every
+    round and the polish pass run the active-node/compacted path) must stay
+    bit-identical to the oracle's dense semantics."""
+    from rambl_tpu.oracle.pipeline import assemble as assemble_oracle
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    ds = simulate_dataset(
+        n_species=3, refs_per_species=2, n_reads=400, seed=2,
+        skewed_abundance=False,
+    )
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    cfg = PipelineConfig(max_assembly_iters=2, batch_size=128,
+                         pileup_slot_nodes=1)
+    r_np = assemble_oracle(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                           tax, cfg)
+    r_jx = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                        tax, cfg)
+    assert sorted(g.key() for g in r_np.genes) == sorted(
+        g.key() for g in r_jx.genes)
+    # resumed runs recompute the polish votes (no retained accumulator):
+    # polish-only continuation must match the oracle's
+    cfg1 = dataclasses.replace(cfg, max_assembly_iters=1)
+    p_np = assemble_oracle(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                           tax, cfg1, initial_panel=r_np.panel)
+    p_jx = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                        tax, cfg1, initial_panel=r_np.panel)
+    assert sorted(g.key() for g in p_np.genes) == sorted(
+        g.key() for g in p_jx.genes)
+
+
+def test_huge_taxonomy_smoke():
+    """Full-Greengenes-scale taxonomy (150k nodes): the dense node pileup
+    would need ~5 TB, so this passing proves the slot-compacted path engages
+    and assembles correctly with the reference leaves scattered across a
+    huge tree."""
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    ds = simulate_dataset(n_species=4, refs_per_species=1, n_reads=400,
+                          seed=5, skewed_abundance=False)
+    N = 150_000
+    parent = np.zeros(N, np.int32)
+    depth = np.ones(N, np.int32)
+    depth[0] = 0
+    leaf_ids = np.array([10, 50_000, 100_000, 149_999], np.int32)
+    tax = build_taxonomy_tables(parent, depth, leaf_ids)
+    cfg = PipelineConfig(max_assembly_iters=2, batch_size=128)
+    res = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                       tax, cfg)
+    # each species leaf should assemble at least one full-length gene
+    leaves_with_genes = {g.taxon for g in res.genes}
+    assert set(leaf_ids.tolist()) <= leaves_with_genes
+    assert len(res.full_length(cfg)) >= 4
