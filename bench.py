@@ -73,8 +73,20 @@ def main():
     for rr, ll in ((r1, l1), (r0, l0), (r1, l1), (r0, l0)):
         fetch(f(rr, ll))
     per = (time.time() - t0) / 4
+    log(f"align (fetch each): {per * 1000:.1f} ms/batch({B}) = "
+        f"{B / per:.0f} reads/s/chip")
+
+    # pipelined: 8 async dispatches, one fetch - amortizes the ~25ms tunnel
+    # dispatch floor exactly like the production stream (_stream_align never
+    # fetches per batch)
+    t0 = time.time()
+    outs = [f(rr, ll) for rr, ll in ((r1, l1), (r0, l0)) * 4]
+    for o in outs:
+        fetch(o)
+    per = (time.time() - t0) / 8
     reads_per_s = B / per
-    log(f"align: {per * 1000:.1f} ms/batch({B}) = {reads_per_s:.0f} reads/s/chip")
+    log(f"align (pipelined):  {per * 1000:.1f} ms/batch({B}) = "
+        f"{reads_per_s:.0f} reads/s/chip")
 
     # SW inner-loop GCUPS (Pallas wavefront kernel, the BWA-MEM DP replacement)
     pairs = 131072

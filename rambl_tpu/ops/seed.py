@@ -186,8 +186,40 @@ def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig)
     return select_candidates(ckey, cfg)
 
 
-def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int):
-    """(R, ref_len) int8 refs -> (B, C, W) int8 windows (out of range -> 4)."""
+# above this many bytes the strided window table falls back to the element
+# gather (a full-Greengenes panel would need GBs; per-sample panels are KBs)
+_STRIDED_TABLE_MAX = 256 * 1024 * 1024
+
+
+def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int,
+                       cfg: PipelineConfig | None = None):
+    """(R, ref_len) int8 refs -> (B, C, W) int8 windows (out of range -> 4).
+
+    When cfg is given, window starts are assumed on the diag-bin grid
+    (cand_wstart = dbin * diag_bin + s0, exactly what select_candidates
+    emits), and the gather runs against an in-graph strided table
+    (R, n_diag_bins, W): a contiguous-row gather instead of a 10M-element
+    scatter-gather. Measured ~50x faster on TPU (scripts/
+    bench_gather_variants.py: 115ms -> ~2ms device per 64k windows); XLA
+    fuses the table build, so no persistent memory is held. Bitwise
+    identical for on-grid starts; off-grid callers must pass cfg=None.
+    """
+    R, RL = ref_seqs.shape
+    if cfg is not None:
+        nd = cfg.n_diag_bins
+        s0 = -cfg.read_len_max + cfg.diag_bin // 2 - cfg.window_margin
+        if R * nd * W <= _STRIDED_TABLE_MAX:
+            pad_lo = max(0, -s0)
+            pad_hi = max(0, (nd - 1) * cfg.diag_bin + s0 + W - RL)
+            padded = jnp.concatenate([
+                jnp.full((R, pad_lo), 4, jnp.int8), ref_seqs,
+                jnp.full((R, pad_hi), 4, jnp.int8)], axis=1)
+            tbl = jnp.stack(
+                [padded[:, i * cfg.diag_bin: i * cfg.diag_bin + W]
+                 for i in range(nd)], axis=1).reshape(R * nd, W)
+            idx = jnp.clip((cand_wstart - s0) // cfg.diag_bin, 0, nd - 1)
+            flat = jnp.clip(cand_ref, 0, R - 1) * nd + idx
+            return jnp.take(tbl, flat, axis=0)
     cols = cand_wstart[..., None] + jnp.arange(W, dtype=jnp.int32)
     in_range = (cols >= 0) & (cols < ref_seqs.shape[1])
     g = ref_seqs[cand_ref[..., None], jnp.clip(cols, 0, ref_seqs.shape[1] - 1)]

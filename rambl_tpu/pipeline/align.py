@@ -81,7 +81,7 @@ def align_from_candidates(
     cws = jnp.concatenate([cands_f["cand_wstart"], cands_r["cand_wstart"]], axis=1)
     cval = jnp.concatenate([cands_f["cand_valid"], cands_r["cand_valid"]], axis=1)
 
-    wins = gather_windows_jax(ref_seqs, cref, cws, W)          # (B, 2C, W)
+    wins = gather_windows_jax(ref_seqs, cref, cws, W, cfg)     # (B, 2C, W)
     q_pairs = jnp.concatenate(
         [
             jnp.broadcast_to(reads[:, None, :], (B, C, L)),
