@@ -108,6 +108,12 @@ class PipelineConfig:
     minorhap_max_den: int = 3
     minorhap_frac_num: int = 3
     minorhap_frac_den: int = 20
+    # NOTE: generalizing the single minor allele to multi-strain frequency
+    # BANDS was prototyped and measured to NOT work single-sample: at ~40x
+    # leaf depth, strain frequencies .28 and .43 smear into one unsplittable
+    # .31-.49 continuum (+-.07 sampling noise per column). Multi-strain
+    # recovery needs cross-sample abundance covariation (config-4 cohorts) -
+    # see SURVEY.md known gaps.
 
     # ---- polish pass (final leaf-exclusive re-vote; oracle/polish.py) ----
     # a gene base is overridden only by depth >= polish_min_depth votes with a
