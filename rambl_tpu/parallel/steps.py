@@ -24,19 +24,32 @@ from rambl_tpu.pipeline.pileup import node_pileup
 
 
 def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
-                           n_nodes: int, ref_len: int, ring: bool = False):
+                           n_nodes: int, ref_len: int, ring: bool = False,
+                           shard_positions: bool = False):
     """Build the jitted shard_map step.
 
     step(reads, lens, bucket_start, entries, ref_seqs, ref_taxon, anc_path,
          depth, col_map)
       -> (query, ref_col, bins, score  [sharded over 'data'],
-          counts, span_diff, read_count [replicated, psum-merged])
+          counts, span_diff, read_count [psum-merged])
 
     col_map is the anchor-coordinate projection (index.colmap.build_col_maps).
     With ring=True the seed-table arrays are expected bucket-range sharded
     over 'data' (see parallel.ring.build_ring_shards) and lookups rotate the
     shards around the mesh.
+
+    shard_positions=True merges the pileup accumulators with
+    jax.lax.psum_scatter over the COLUMN axis instead of a full psum: each
+    device keeps 1/N of the columns and the collective moves 1/N of the
+    bytes (reduce-scatter vs all-reduce) - the position-sharded pileup for
+    deep configs (BASELINE config 5) where the merge dominates DCN traffic.
+    The returned global array is bit-identical; only residency changes.
     """
+    n_dev = mesh.devices.size
+    span_w = ref_len + 1
+    if shard_positions:
+        assert ref_len % n_dev == 0, "ref_len must divide the mesh"
+        span_w = ref_len + n_dev      # pad so the span axis divides too
 
     def step(reads, lens, bucket_start, entries,
              ref_seqs, ref_taxon, anc_path, depth, col_map):
@@ -64,9 +77,17 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
             jnp.where(bins >= 0, bins, n_nodes)
         ].add(1)[:-1]
         # cross-device/-host merge (BASELINE.json:5)
-        counts = jax.lax.psum(counts, DATA_AXIS)
-        span_diff = jax.lax.psum(span_diff, DATA_AXIS)
         read_count = jax.lax.psum(read_count, DATA_AXIS)
+        if shard_positions:
+            pad = jnp.zeros((n_nodes, span_w - ref_len - 1), jnp.int32)
+            span_diff = jnp.concatenate([span_diff, pad], axis=1)
+            counts = jax.lax.psum_scatter(
+                counts, DATA_AXIS, scatter_dimension=1, tiled=True)
+            span_diff = jax.lax.psum_scatter(
+                span_diff, DATA_AXIS, scatter_dimension=1, tiled=True)
+        else:
+            counts = jax.lax.psum(counts, DATA_AXIS)
+            span_diff = jax.lax.psum(span_diff, DATA_AXIS)
         return res.query, proj, bins, res.score, counts, span_diff, read_count
 
     data = P(DATA_AXIS)
@@ -78,7 +99,10 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
         table_spec, table_spec,           # seed table: bucket_start, entries
         repl, repl, repl, repl, repl,     # ref_seqs, ref_taxon, anc, depth, col_map
     )
-    out_specs = (data2, data2, data, data, repl, repl, repl)
+    pile_spec = P(None, DATA_AXIS) if shard_positions else repl
+    out_specs = (data2, data2, data, data,
+                 P(None, DATA_AXIS, None) if shard_positions else repl,
+                 pile_spec, repl)
     return jax.jit(
         jax.shard_map(
             step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

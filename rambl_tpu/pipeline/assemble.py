@@ -218,12 +218,20 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
 
     # per-read outputs stay ON DEVICE (no per-batch host fetch - the host
     # round trip would serialize the stream); downstream clustering consumes
-    # them on device, only `bins` is fetched once for gene bookkeeping
-    outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
-    for i in range(nb):
+    # them on device, only `bins` is fetched once for gene bookkeeping.
+    # PP stage pipelining (SURVEY.md section 2.3): batch i+1's H2D transfer
+    # is issued (async device_put) while batch i's align executes, so the
+    # tunnel/PCIe never sits between dispatches
+    def _put(i):
         sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+        return jax.device_put(padded[sl]), jax.device_put(plens[sl])
+
+    outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
+    nxt = _put(0)
+    for i in range(nb):
+        cur, nxt = nxt, (_put(i + 1) if i + 1 < nb else None)
         q, rc, b, sc, rf, st = _align_bin_batch(
-            padded[sl], plens[sl], table.bucket_start, table.entries,
+            cur[0], cur[1], table.bucket_start, table.entries,
             ref_seqs_d, rt, anc, dep, col_map, cfg, index.n_bits,
         )
         if dense:

@@ -124,3 +124,34 @@ def test_ring_shards_roundtrip(small_index):
         # keys are >= 0 by construction; padding is -1
         total += int((shards["entries"][s, :, 0] >= 0).sum())
     assert total == small_index.n_entries
+
+
+def test_position_sharded_pileup_matches_replicated(
+        small_ds, small_index, small_tax, cfg, mesh):
+    """psum_scatter-merged (position-sharded) pileups == full psum, bitwise
+    (BASELINE config 5: the deep-config merge rides reduce-scatter and each
+    device keeps 1/N of the columns)."""
+    res1, proj1, bins1, counts1, span1 = _single_device_reference(
+        small_ds, small_index, small_tax, cfg
+    )
+    step = make_align_pileup_step(
+        mesh, cfg, small_index.n_bits, small_tax.n_nodes,
+        small_ds.ref_seqs.shape[1], shard_positions=True,
+    )
+    table = SeedTable.from_index(small_index)
+    reads = put_sharded(small_ds.reads[:B], mesh)
+    lens = put_sharded(small_ds.read_lens[:B], mesh)
+    args = [put_replicated(np.asarray(x), mesh) for x in
+            (table.bucket_start, table.entries, small_ds.ref_seqs,
+             small_tax.ref_taxon, small_tax.anc_path, small_tax.depth,
+             _col_map(small_ds, small_tax))]
+    q, rc, bins, score, counts, span, rcount = step(reads, lens, *args)
+
+    # sharded over columns but logically the same global tensors
+    assert counts.sharding.spec == jax.sharding.PartitionSpec(
+        None, "data", None)
+    np.testing.assert_array_equal(np.asarray(counts), counts1)
+    ref_len = small_ds.ref_seqs.shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(span)[:, : ref_len + 1], span1)
+    assert not np.asarray(span)[:, ref_len + 1:].any()
