@@ -71,7 +71,12 @@ class PipelineConfig:
     max_poly_cols: int = 64          # polymorphic columns used as features
     # strict polymorphism criteria: sequencing errors (~0.5%/base) must not
     # qualify, or error-seeded clusters proliferate and poison refinement
-    poly_min_minor_frac: float = 0.15  # minor-allele fraction to call a column
+    # minor-allele fraction threshold as an exact rational num/den: the
+    # comparison is minor * den >= num * max(tot, 1), integer-exact on every
+    # backend (a float frac in f32 on device vs f64 in the oracle can land on
+    # opposite sides of the threshold and break bit-parity)
+    poly_minor_frac_num: int = 3
+    poly_minor_frac_den: int = 20
     poly_min_minor_count: int = 4
     dp_max_iters: int = 16
     min_cluster_reads: int = 3       # clusters below this are not assembled
@@ -156,6 +161,13 @@ class PipelineConfig:
     @staticmethod
     def from_json(s: str) -> "PipelineConfig":
         d = json.loads(s)
+        # legacy float threshold -> exact rational (pre-round-2 checkpoints)
+        legacy = d.pop("poly_min_minor_frac", None)
+        if legacy is not None and "poly_minor_frac_num" not in d:
+            from fractions import Fraction
+            f = Fraction(legacy).limit_denominator(10**6)
+            d["poly_minor_frac_num"] = f.numerator
+            d["poly_minor_frac_den"] = f.denominator
         sc = d.pop("scoring", None)
         cfg = PipelineConfig(**d)
         if sc is not None:

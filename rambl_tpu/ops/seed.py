@@ -214,8 +214,12 @@ def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int,
             padded = jnp.concatenate([
                 jnp.full((R, pad_lo), 4, jnp.int8), ref_seqs,
                 jnp.full((R, pad_hi), 4, jnp.int8)], axis=1)
+            # window i starts at global column s0 + i*diag_bin, i.e. padded
+            # column pad_lo + s0 + i*diag_bin (correct for either sign of s0;
+            # with s0 <= 0, pad_lo == -s0 and this is i*diag_bin as before)
             tbl = jnp.stack(
-                [padded[:, i * cfg.diag_bin: i * cfg.diag_bin + W]
+                [padded[:, pad_lo + s0 + i * cfg.diag_bin:
+                        pad_lo + s0 + i * cfg.diag_bin + W]
                  for i in range(nd)], axis=1).reshape(R * nd, W)
             idx = jnp.clip((cand_wstart - s0) // cfg.diag_bin, 0, nd - 1)
             flat = jnp.clip(cand_ref, 0, R - 1) * nd + idx

@@ -57,12 +57,12 @@ def polymorphic_cols(counts: np.ndarray, cfg: PipelineConfig,
     tot = counts.sum(axis=1)
     top = counts.max(axis=1)
     minor = tot - top
-    with np.errstate(divide="ignore", invalid="ignore"):
-        frac = np.where(tot > 0, minor / np.maximum(tot, 1), 0.0)
+    # integer-exact fraction test: minor/max(tot,1) >= num/den
     is_poly = (
         (tot >= cfg.min_coverage)
         & (minor >= cfg.poly_min_minor_count)
-        & (frac >= cfg.poly_min_minor_frac)
+        & (minor.astype(np.int64) * cfg.poly_minor_frac_den
+           >= cfg.poly_minor_frac_num * np.maximum(tot, 1).astype(np.int64))
     )
     cols = np.nonzero(is_poly)[0]
     if cap:

@@ -203,7 +203,10 @@ def assemble_round(
             & (mm * cfg.minorhap_frac_den >= cfg.minorhap_frac_num * tot_ex)
             & (srt_ex[:, -2] > srt_ex[:, -3])
         )
-        if int(qual.sum()) >= cfg.minorhap_min_cols:
+        # max(1, ...) so a (mis)configured minorhap_min_cols of 0 with zero
+        # qualifying columns cannot reach the empty-array mm[qual].min() below
+        # (the device path would emit a bogus gene at the same edge)
+        if int(qual.sum()) >= max(1, cfg.minorhap_min_cols):
             b1 = np.argmax(c_ex, axis=1)
             c2 = c_ex.copy()
             c2[np.arange(c2.shape[0]), b1] = -1

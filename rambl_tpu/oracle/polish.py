@@ -100,10 +100,10 @@ def apply_polish(genes: List, counts: Dict[int, np.ndarray],
         # cluster.polymorphic_cols) must keep each variant gene's call, or a
         # 2:1-abundance strain pair would have the minor gene overwritten
         minor = tot - srt[:, -1]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mfrac = np.where(tot > 0, minor / np.maximum(tot, 1), 0.0)
+        # integer-exact fraction test: minor/max(tot,1) >= num/den
         is_poly = (minor >= cfg.poly_min_minor_count) & (
-            mfrac >= cfg.poly_min_minor_frac)
+            minor.astype(np.int64) * cfg.poly_minor_frac_den
+            >= cfg.poly_minor_frac_num * np.maximum(tot, 1).astype(np.int64))
         ok = (
             (gcols >= 0)
             & (gcols < ref_len)

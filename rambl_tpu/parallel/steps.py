@@ -44,6 +44,13 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
     bytes (reduce-scatter vs all-reduce) - the position-sharded pileup for
     deep configs (BASELINE config 5) where the merge dominates DCN traffic.
     The returned global array is bit-identical; only residency changes.
+
+    RETURN-WIDTH CONTRACT with shard_positions=True: span_diff comes back
+    (n_nodes, ref_len + n_dev) - the span axis is zero-PADDED so it divides
+    the mesh. Callers MUST slice back to [:, :ref_len + 1] before feeding
+    leaf_pileup (which cumsums over [:, :-1]); the padding columns are
+    always zero, so the slice is exact. assemble_jax's mesh path does this
+    immediately after the step.
     """
     n_dev = mesh.devices.size
     span_w = ref_len + 1

@@ -119,7 +119,7 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     # columns); the feature columns below take the first max_poly_cols of it
     pm = polymorphic_mask(
         leaf_counts, cfg.min_coverage, cfg.poly_min_minor_count,
-        cfg.poly_min_minor_frac, ref_len,
+        cfg.poly_minor_frac_num, cfg.poly_minor_frac_den, ref_len,
     )
     cols = jnp.arange(ref_len, dtype=jnp.int32)
     key = jnp.where(pm, cols[None, :], _BIG)
@@ -279,7 +279,9 @@ def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
             genes.append(Gene(seq=seq, n_reads=int(nk[li, k]), leaf=int(leaf),
                               cluster=k, round_born=round_idx, taxon=taxon,
                               offset=off))
-        if mh is not None and int(mh.n_cols[li]) >= cfg.minorhap_min_cols:
+        # max(1, ...) mirrors the oracle's guard: minorhap_min_cols == 0 with
+        # zero qualifying columns must not emit a bogus backbone-duplicate gene
+        if mh is not None and int(mh.n_cols[li]) >= max(1, cfg.minorhap_min_cols):
             em = np.asarray(mh.emit[li])
             seq = np.asarray(mh.called[li])[em].astype(np.int8)
             nk_mh = int(mh.n_reads[li])

@@ -138,19 +138,24 @@ def polymorphic_mask(
     leaf_counts: jax.Array,  # (NL, ref_len, 4)
     min_coverage: int,
     poly_min_minor_count: int,
-    poly_min_minor_frac: float,
+    poly_minor_frac_num: int,
+    poly_minor_frac_den: int,
     max_poly_cols: int,
 ):
     """Bool (NL, ref_len) mask of the first max_poly_cols polymorphic columns
-    per leaf (ascending column), matching oracle.cluster.polymorphic_cols."""
+    per leaf (ascending column), matching oracle.cluster.polymorphic_cols.
+
+    The fraction threshold is the integer-exact cross-multiplication
+    minor * den >= num * max(tot, 1) - no float arithmetic in any
+    output-affecting path (CLAUDE.md invariant)."""
     tot = leaf_counts.sum(axis=2)
     top = leaf_counts.max(axis=2)
     minor = tot - top
-    frac = jnp.where(tot > 0, minor / jnp.maximum(tot, 1), 0.0)
     is_poly = (
         (tot >= min_coverage)
         & (minor >= poly_min_minor_count)
-        & (frac >= poly_min_minor_frac)
+        & (minor * poly_minor_frac_den
+           >= poly_minor_frac_num * jnp.maximum(tot, 1))
     )
     rank = jnp.cumsum(is_poly.astype(jnp.int32), axis=1)
     return is_poly & (rank <= max_poly_cols)
