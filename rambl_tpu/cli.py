@@ -131,6 +131,14 @@ def cmd_assemble(args) -> int:
                   "active config; resuming anyway", file=sys.stderr)
         metrics.log("resume", round=header["round"], genes=len(initial_panel))
 
+    mesh = None
+    if args.mesh:
+        from rambl_tpu.parallel.mesh import data_mesh, init_distributed
+
+        init_distributed()
+        mesh = data_mesh(args.mesh if args.mesh > 0 else None)
+        metrics.log("mesh", devices=int(mesh.devices.size))
+
     if args.profile:
         import jax
 
@@ -144,13 +152,14 @@ def cmd_assemble(args) -> int:
     elif len(samples) > 1:
         from rambl_tpu.pipeline.assemble import assemble_cohort
 
-        results = assemble_cohort(samples, ref_seqs, ref_lens, tables, cfg)
+        results = assemble_cohort(samples, ref_seqs, ref_lens, tables, cfg,
+                                  mesh=mesh)
     else:
         from rambl_tpu.pipeline.assemble import assemble_jax
 
         results = [assemble_jax(samples[0][0], samples[0][1], ref_seqs,
                                 ref_lens, tables, cfg,
-                                initial_panel=initial_panel)]
+                                initial_panel=initial_panel, mesh=mesh)]
     if args.profile:
         import jax
 
@@ -220,6 +229,10 @@ def main(argv=None) -> int:
     a.add_argument("--resume-from", help="panel checkpoint to resume from: "
                    "skips discovery, continues assembly rounds on its panel")
     a.add_argument("--profile", help="dump a jax.profiler trace to this dir")
+    a.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="run every stage under shard_map on an N-device "
+                   "'data' mesh (-1 = all visible devices); bitwise equal "
+                   "to the single-device path")
     a.set_defaults(fn=cmd_assemble)
 
     b = sub.add_parser("bench", help="run microbenchmarks")

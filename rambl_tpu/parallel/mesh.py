@@ -11,17 +11,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def init_distributed():
-    """Multi-host init; no-op single-process. Call before device queries."""
-    if jax.process_count() > 1:  # pragma: no cover - needs real cluster
-        return
-    try:
-        import os
+def init_distributed() -> bool:
+    """Multi-host init (SURVEY.md section 3.5 init stack).
 
-        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    MUST be called before ANY backend query (jax.devices / process_count /
+    device_put initialize the local backend, after which
+    jax.distributed.initialize is rejected) - so this function must not
+    itself touch the backend before initializing. Gated on the coordinator
+    env vars JAX supports (JAX_COORDINATOR_ADDRESS, or the TPU pod
+    auto-detection when RAMBL_DISTRIBUTED=1) so single-process runs are a
+    no-op. Returns True when distributed mode is active.
+    """
+    import os
+
+    want = bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("RAMBL_DISTRIBUTED"))
+    if not want:
+        return False
+    try:  # pragma: no cover - needs a real multi-host cluster
+        jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized (idempotent callers)
+    return True
+
+
+def broadcast_host_config(payload: bytes, is_source: Optional[bool] = None) -> bytes:
+    """Broadcast small host-side metadata (config JSON, index fingerprint)
+    from process 0 to every process, so all hosts run the identical pipeline
+    (SURVEY.md section 3.5: multihost_utils broadcast of config/index
+    metadata). Single-process: identity."""
+    if jax.process_count() == 1:
+        return payload
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    arr = np.frombuffer(payload, np.uint8)
+    n = np.asarray([arr.size], np.int32)
+    n = multihost_utils.broadcast_one_to_all(n, is_source)
+    buf = np.zeros(int(n[0]), np.uint8)
+    if arr.size == int(n[0]):
+        buf[:] = arr
+    out = multihost_utils.broadcast_one_to_all(buf, is_source)
+    return bytes(np.asarray(out))
 
 
 def data_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:

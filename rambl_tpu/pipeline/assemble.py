@@ -178,12 +178,22 @@ def _pad_batches(reads, lens, batch):
     return reads, lens, nb, B
 
 
-def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
+def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
+                  mesh=None):
     """Batch-stream the jitted align+bin step; accumulate node pileups.
 
     Returns device arrays (query, projected ref_col, bins, score, ref,
     strand) for the real reads plus device pileup accumulators.
+
+    With `mesh` the stream runs under shard_map: reads shard over 'data',
+    the seed table is replicated (or bucket-range ring-sharded when
+    cfg.shard_index), and the pileup accumulators are psum-merged ONCE at
+    the end of the stream - bit-identical to the single-device path
+    (integer scatter-adds commute; tests/test_distributed.py).
     """
+    if mesh is not None:
+        return _stream_align_mesh(
+            reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh)
     from rambl_tpu.index.colmap import build_col_maps
 
     table = SeedTable.from_index(index)
@@ -250,6 +260,104 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg):
     return merged, counts, span_diff, read_count
 
 
+def _pad_entry_rows(ent, bucket=65536):
+    """Pad packed entry rows (key -1 = inert) to a bucket multiple along the
+    entry axis so rounds with drifting index sizes share one executable."""
+    ne = ent.shape[-2]
+    target = max(4096, -(-ne // bucket) * bucket)
+    if target == ne:
+        return ent
+    pad_shape = ent.shape[:-2] + (target - ne, 4)
+    return np.concatenate(
+        [np.asarray(ent), np.full(pad_shape, -1, np.int32)], axis=-2)
+
+
+def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
+                       mesh):
+    """shard_map variant of _stream_align (see its docstring).
+
+    Per-read outputs stay sharded over 'data'; the node-space pileup merge
+    is ONE psum after the whole stream (BASELINE.json:5) instead of one per
+    batch - the collective leaves the hot loop and the result is bitwise
+    identical because integer adds commute."""
+    from rambl_tpu.index.colmap import build_col_maps
+    from rambl_tpu.parallel.mesh import put_replicated, put_sharded
+    from rambl_tpu.parallel.ring import build_ring_shards
+    from rambl_tpu.parallel.steps import (
+        make_align_bin_step,
+        make_pileup_merge_step,
+        make_read_count_step,
+    )
+
+    n_dev = mesh.devices.size
+    if cfg.batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide the {n_dev}-device mesh")
+
+    if cfg.shard_index:
+        shards = build_ring_shards(index, n_dev)
+        targs = (
+            put_sharded(shards["bucket_start"], mesh),
+            put_sharded(_pad_entry_rows(shards["entries"], 8192), mesh),
+        )
+    else:
+        ent = _pad_entry_rows(pack_entries_np(index))
+        targs = (
+            put_replicated(np.asarray(index.bucket_start), mesh),
+            put_replicated(ent, mesh),
+        )
+    col_map = build_col_maps(
+        np.asarray(ref_seqs), np.asarray(ref_lens),
+        np.asarray(tables.ref_taxon))
+    repl = [put_replicated(np.asarray(x), mesh) for x in (
+        ref_seqs, tables.ref_taxon, tables.anc_path, tables.depth, col_map)]
+
+    n_nodes = tables.n_nodes
+    ref_len = ref_seqs.shape[1]
+    padded, plens, nb, B = _pad_batches(reads, lens, cfg.batch_size)
+    step = make_align_bin_step(mesh, cfg, index.n_bits, ring=cfg.shard_index)
+
+    def _put(i):
+        sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+        return put_sharded(padded[sl], mesh), put_sharded(plens[sl], mesh)
+
+    outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
+    nxt = _put(0)
+    for i in range(nb):
+        cur, nxt = nxt, (_put(i + 1) if i + 1 < nb else None)
+        res = step(cur[0], cur[1], *targs, *repl)
+        for k, v in zip(("query", "ref_col", "bins", "score", "ref", "strand"),
+                        res):
+            outs[k].append(v)
+    cat = {k: (jnp.concatenate(v) if nb > 1 else v[0]) for k, v in outs.items()}
+
+    dense = n_nodes <= cfg.pileup_slot_nodes
+    if dense:
+        pstep = make_pileup_merge_step(mesh, n_nodes, ref_len)
+        counts, span_diff, read_count = pstep(
+            cat["query"], cat["ref_col"], cat["bins"])
+    else:
+        counts = span_diff = None
+        read_count = make_read_count_step(mesh, n_nodes)(cat["bins"])
+    # replicate the per-read outputs before trimming the pad rows: the
+    # trailing cluster/consensus step consumes them replicated anyway, and a
+    # plain [:B] on a 'data'-sharded dim is an ambiguous reshard
+    from rambl_tpu.parallel.mesh import put_replicated
+
+    merged = {k: put_replicated(v, mesh)[:B] for k, v in cat.items()}
+    return merged, counts, span_diff, read_count
+
+
+def pack_entries_np(index):
+    """Packed (n, 4) int32 entry rows from a SeedIndex (host side)."""
+    n = index.entry_key.shape[0]
+    out = np.zeros((n, 4), np.int32)
+    out[:, 0] = index.entry_key
+    out[:, 1] = index.entry_ref
+    out[:, 2] = index.entry_pos
+    return out
+
+
 def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
                           round_idx, orig_taxon_of_node=None, mh=None):
     """Host compaction of consensus tensors into Gene records (oracle order).
@@ -306,21 +414,38 @@ def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
     return out[: cfg.max_genes]
 
 
+def _pad_read_rows(query, ref_col, bins, m: int):
+    """Pad per-read arrays to a row multiple of m with inert rows (query 4,
+    ref_col/bins -1) so they divide a mesh; pads contribute nothing to any
+    scatter (bin -1 -> overflow slot)."""
+    B = bins.shape[0]
+    Bp = -(-B // m) * m
+    if Bp == B:
+        return query, ref_col, bins
+    pq = jnp.full((Bp - B, query.shape[1]), 4, query.dtype)
+    pr = jnp.full((Bp - B, ref_col.shape[1]), -1, ref_col.dtype)
+    pb = jnp.full((Bp - B,), -1, bins.dtype)
+    return (jnp.concatenate([query, pq]), jnp.concatenate([ref_col, pr]),
+            jnp.concatenate([bins, pb]))
+
+
 def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
                        round_idx=0, orig_taxon_of_node=None, index=None,
-                       n_bits=None, aux_out=None):
+                       n_bits=None, aux_out=None, mesh=None):
     """Device version of oracle.pipeline.assemble_round.
 
     `index` lets cohort runs share one prebuilt Greengenes index across
     samples (BASELINE.json config 4); `n_bits` pins the hash-table geometry
     so successive rounds reuse one compiled align executable. `aux_out`, if a
     dict, receives the node-space pileup accumulator ("node_counts") for the
-    final polish pass (see polish_jax).
+    final polish pass (see polish_jax). `mesh` runs the whole round under
+    shard_map (align/pileup data-parallel, clustering leaf-sharded),
+    bit-identical to the single-device path.
     """
     if index is None:
         index = build_seed_index(ref_seqs, ref_lens, k=cfg.k, n_bits=n_bits)
     rec, counts, span_diff, read_count = _stream_align(
-        reads, lens, index, ref_seqs, ref_lens, tables, cfg
+        reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh=mesh
     )
     node2slot_d = None
     if counts is None:
@@ -350,10 +475,21 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
         node2slot[ids] = np.arange(ids.size, dtype=np.int32)
         n_slots = max(64, -(-max(ids.size, 1) // 64) * 64)
         node2slot_d = jnp.asarray(node2slot)
-        counts, span_diff = _slot_pileup(
-            jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
-            jnp.asarray(rec["bins"]), node2slot_d, n_slots,
-            ref_seqs.shape[1])
+        if mesh is not None:
+            from rambl_tpu.parallel.mesh import put_replicated
+            from rambl_tpu.parallel.steps import make_slot_pileup_step
+
+            q, rc, b = _pad_read_rows(
+                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                jnp.asarray(rec["bins"]), mesh.devices.size)
+            counts, span_diff = make_slot_pileup_step(
+                mesh, n_slots, ref_seqs.shape[1])(
+                    q, rc, b, put_replicated(node2slot, mesh))
+        else:
+            counts, span_diff = _slot_pileup(
+                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                jnp.asarray(rec["bins"]), node2slot_d, n_slots,
+                ref_seqs.shape[1])
         if aux_out is not None:
             aux_out["slot_counts"] = (counts, node2slot)
     else:
@@ -362,17 +498,35 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
             aux_out["node_counts"] = counts
     # pad the leaf list to a bucket size so successive rounds (whose leaf
     # counts drift) reuse one compiled executable; duplicate pad leaves
-    # produce byte-identical genes that dedupe away
+    # produce byte-identical genes that dedupe away. On a mesh the bucket
+    # also divides the device count (leaf-sharded EP cluster step).
     NL = leaves.size
-    bucket = max(8, -(-NL // 8) * 8)
+    m = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
+    bucket = max(m, -(-NL // m) * m)
     leaves_p = np.concatenate(
         [leaves, np.full(bucket - NL, leaves[0], leaves.dtype)])
-    cons, kact, n_mem, mh = _cluster_consensus_round0(
-        jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
-        jnp.asarray(rec["bins"]), counts, span_diff, read_count,
-        jnp.asarray(leaves_p), jnp.asarray(tables.anc_path),
-        jnp.asarray(tables.depth), cfg, node2slot_d,
-    )
+    if mesh is not None:
+        from rambl_tpu.parallel.mesh import put_replicated, put_sharded
+        from rambl_tpu.parallel.steps import make_cluster_step
+
+        cstep = make_cluster_step(mesh, cfg, slots=node2slot_d is not None)
+        cargs = [
+            jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+            jnp.asarray(rec["bins"]), counts, span_diff, read_count,
+            put_sharded(leaves_p, mesh),
+            put_replicated(tables.anc_path, mesh),
+            put_replicated(tables.depth, mesh),
+        ]
+        if node2slot_d is not None:
+            cargs.append(node2slot_d)
+        cons, kact, n_mem, mh = cstep(*cargs)
+    else:
+        cons, kact, n_mem, mh = _cluster_consensus_round0(
+            jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+            jnp.asarray(rec["bins"]), counts, span_diff, read_count,
+            jnp.asarray(leaves_p), jnp.asarray(tables.anc_path),
+            jnp.asarray(tables.depth), cfg, node2slot_d,
+        )
     mh = type(mh)(*(np.asarray(x)[:NL] for x in mh))
     genes = _genes_from_consensus(
         np.asarray(cons.called)[:NL], np.asarray(cons.emit)[:NL],
@@ -414,7 +568,7 @@ def _panel_bits(cfg):
 
 def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
                cfg: PipelineConfig, node_counts=None, slot_counts=None,
-               shared_index=None):
+               shared_index=None, mesh=None):
     """Device polish pass (see oracle.polish): leaf-exclusive re-vote of the
     final panel from round-0 node pileups. The node-space accumulator built
     during the discovery round IS the per-leaf exclusive pileup (reads scatter
@@ -434,7 +588,7 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
         index = shared_index if shared_index is not None else build_seed_index(
             ref_seqs, ref_lens, k=cfg.k)
         rec, counts, _, read_count = _stream_align(
-            reads, lens, index, ref_seqs, ref_lens, tables, cfg)
+            reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh=mesh)
         if counts is not None:
             node_counts = np.asarray(counts)
         else:
@@ -445,10 +599,20 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
             node2slot = np.full(tables.n_nodes, -1, np.int32)
             node2slot[ids] = np.arange(ids.size, dtype=np.int32)
             n_slots = max(64, -(-max(ids.size, 1) // 64) * 64)
-            counts_s, _ = _slot_pileup(
-                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
-                jnp.asarray(rec["bins"]), jnp.asarray(node2slot), n_slots,
-                ref_len)
+            if mesh is not None:
+                from rambl_tpu.parallel.mesh import put_replicated
+                from rambl_tpu.parallel.steps import make_slot_pileup_step
+
+                q, rc, b = _pad_read_rows(
+                    jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                    jnp.asarray(rec["bins"]), mesh.devices.size)
+                counts_s, _ = make_slot_pileup_step(mesh, n_slots, ref_len)(
+                    q, rc, b, put_replicated(node2slot, mesh))
+            else:
+                counts_s, _ = _slot_pileup(
+                    jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                    jnp.asarray(rec["bins"]), jnp.asarray(node2slot), n_slots,
+                    ref_len)
             slot_counts = (counts_s, node2slot)
     if node_counts is not None:
         node_counts = np.asarray(node_counts)
@@ -471,7 +635,7 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
 
 
 def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
-                    cfg: PipelineConfig):
+                    cfg: PipelineConfig, mesh=None):
     """Multi-sample cohort assembly with a SHARED reference index
     (BASELINE.json config 4: 'multi-sample cohort with shared sharded index').
 
@@ -482,18 +646,22 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
     shared_index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
     return [
         assemble_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
-                     shared_index=shared_index)
+                     shared_index=shared_index, mesh=mesh)
         for reads, lens in samples
     ]
 
 
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
-                 cfg: PipelineConfig, shared_index=None, initial_panel=None):
+                 cfg: PipelineConfig, shared_index=None, initial_panel=None,
+                 mesh=None):
     """Device version of oracle.pipeline.assemble (same convergence loop:
     every round is a full discovery round; the panel maps genes back to
     their provenance taxa - see oracle.pipeline.panel_tables).
 
-    initial_panel resumes from a checkpointed panel (discovery skipped)."""
+    initial_panel resumes from a checkpointed panel (discovery skipped).
+    mesh runs every stage (align/pileup/cluster/polish) under shard_map over
+    the 'data' axis - the product-level multi-device path, bitwise equal to
+    single-device (tests/test_distributed.py)."""
     from rambl_tpu.oracle.pipeline import (
         AssemblyResult,
         pad_panel,
@@ -505,7 +673,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     if initial_panel is None:
         genes, stats = assemble_round_jax(
             reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
-            index=shared_index, aux_out=aux,
+            index=shared_index, aux_out=aux, mesh=mesh,
         )
         round_stats.append(stats)
     else:
@@ -526,7 +694,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             cfg)
         genes, stats = assemble_round_jax(
             reads, lens, pseqs, plens, ptab, cfg, round_idx=it,
-            n_bits=_panel_bits(cfg),
+            n_bits=_panel_bits(cfg), mesh=mesh,
         )
         round_stats.append(stats)
         new_key = tuple(sorted(g.key() for g in genes))
@@ -542,7 +710,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             reads, lens, genes, ref_seqs, ref_lens, tables, cfg,
             node_counts=(aux or {}).get("node_counts"),
             slot_counts=(aux or {}).get("slot_counts"),
-            shared_index=shared_index)
+            shared_index=shared_index, mesh=mesh)
         round_stats.append(dict(round="polish", changed=n_changed))
     return AssemblyResult(genes=genes, n_rounds=n_rounds,
                           converged=converged, round_stats=round_stats,

@@ -155,3 +155,81 @@ def test_position_sharded_pileup_matches_replicated(
     np.testing.assert_array_equal(
         np.asarray(span)[:, : ref_len + 1], span1)
     assert not np.asarray(span)[:, ref_len + 1:].any()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end assembly on a mesh (VERDICT round-1 item 1): the PRODUCT path -
+# full discovery + refinement + polish under shard_map must be bitwise equal
+# to the single-device assembly, in every index mode.
+# ---------------------------------------------------------------------------
+
+def _assembly_keys(res):
+    return [
+        (g.key(), g.n_reads, g.leaf, g.cluster, g.taxon, g.offset)
+        for g in res.genes
+    ]
+
+
+@pytest.fixture(scope="module")
+def e2e_problem():
+    from rambl_tpu.data.simulate import simulate_dataset
+    from rambl_tpu.index.taxonomy import build_taxonomy_tables
+
+    cfg = PipelineConfig(max_assembly_iters=2, batch_size=128)
+    ds = simulate_dataset(
+        n_species=3, refs_per_species=2, n_reads=400, seed=2,
+        skewed_abundance=False,
+    )
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    return cfg, ds, tax
+
+
+@pytest.fixture(scope="module")
+def e2e_single(e2e_problem):
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    cfg, ds, tax = e2e_problem
+    return assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                        tax, cfg)
+
+
+def test_full_assembly_on_mesh_matches_single_device(
+        e2e_problem, e2e_single, mesh):
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    cfg, ds, tax = e2e_problem
+    r_mesh = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                          tax, cfg, mesh=mesh)
+    assert r_mesh.n_rounds == e2e_single.n_rounds
+    assert r_mesh.converged == e2e_single.converged
+    assert _assembly_keys(r_mesh) == _assembly_keys(e2e_single)
+
+
+def test_full_assembly_on_mesh_ring_index(e2e_problem, e2e_single, mesh):
+    """shard_index=True: the seed table ring-rotates around the mesh for
+    EVERY round (discovery, panel realign, polish recompute)."""
+    import dataclasses
+
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    cfg, ds, tax = e2e_problem
+    cfg_ring = dataclasses.replace(cfg, shard_index=True)
+    r_mesh = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                          tax, cfg_ring, mesh=mesh)
+    assert _assembly_keys(r_mesh) == _assembly_keys(e2e_single)
+
+
+def test_full_assembly_on_mesh_slot_mode(e2e_problem, mesh):
+    """Force the slot-compacted pileup path (full-Greengenes-scale taxonomy
+    regime) on the mesh: still bitwise equal to the same config off-mesh."""
+    import dataclasses
+
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    cfg, ds, tax = e2e_problem
+    cfg_slot = dataclasses.replace(cfg, pileup_slot_nodes=1)
+    r_one = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                         tax, cfg_slot)
+    r_mesh = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                          tax, cfg_slot, mesh=mesh)
+    assert _assembly_keys(r_mesh) == _assembly_keys(r_one)
