@@ -186,9 +186,59 @@ def seed_candidates_jax(reads, read_lens, table: SeedTable, cfg: PipelineConfig)
     return select_candidates(ckey, cfg)
 
 
-# above this many bytes the strided window table falls back to the element
-# gather (a full-Greengenes panel would need GBs; per-sample panels are KBs)
+# above this many bytes the (R * n_diag_bins, W) strided table switches to
+# the two-level row-gather (a full-Greengenes table would be ~2 GB; the
+# two-level path holds only the (R, ref_len+pad) padded panel)
 _STRIDED_TABLE_MAX = 256 * 1024 * 1024
+
+
+def _gather_windows_twolevel(ref_seqs, cand_ref, cand_wstart, W: int,
+                             cfg: PipelineConfig):
+    """Scale-proof on-grid window gather (BASELINE config 3/5 index sizes).
+
+    Level 1: ONE contiguous-row gather of each candidate's full padded
+    reference row (row gathers are fast on TPU; element gathers are
+    catastrophic - scripts/bench_gather_variants.py). Level 2: the window
+    start is on the diag_bin grid, so select it with a coarse/fine
+    shift-reduction over static slices (pure vector selects, no gather):
+    coarse picks among ceil(nd/8) 128-col-aligned slices, fine among 8
+    diag_bin shifts. Traffic ~ N*(272*ncc/18-ish + W) bytes instead of an
+    R*nd*W table; holds only the (R, RLpad) padded panel. Bit-identical to
+    the strided table (same padded array, same on-grid starts)."""
+    R, RL = ref_seqs.shape
+    nd = cfg.n_diag_bins
+    db = cfg.diag_bin
+    s0 = -cfg.read_len_max + db // 2 - cfg.window_margin
+    fine_n = 8                      # fine shifts per coarse block
+    blk = fine_n * db               # coarse stride (128 cols for db=16)
+    sub_w = (fine_n - 1) * db + W   # coarse slice width covering all fines
+    ncc = -(-nd // fine_n)
+
+    pad_lo = max(0, -s0)
+    pad_hi = max(max(0, (nd - 1) * db + s0 + W - RL),
+                 (ncc - 1) * blk + s0 + sub_w - RL)
+    padded = jnp.concatenate([
+        jnp.full((R, pad_lo), 4, jnp.int8), ref_seqs,
+        jnp.full((R, pad_hi), 4, jnp.int8)], axis=1)
+
+    shape = cand_ref.shape
+    flat_ref = jnp.clip(cand_ref, 0, R - 1).reshape(-1)
+    idx = jnp.clip((cand_wstart - s0) // db, 0, nd - 1).reshape(-1)
+    rows = jnp.take(padded, flat_ref, axis=0)            # (N, RLpad)
+
+    coarse = idx // fine_n
+    fine = idx % fine_n
+    N = rows.shape[0]
+    sub = jnp.zeros((N, sub_w), jnp.int8)
+    for c in range(ncc):
+        base = pad_lo + s0 + c * blk
+        sub = sub + jnp.where((coarse == c)[:, None],
+                              rows[:, base: base + sub_w], 0)
+    out = jnp.zeros((N, W), jnp.int8)
+    for f in range(fine_n):
+        out = out + jnp.where((fine == f)[:, None],
+                              sub[:, f * db: f * db + W], 0)
+    return out.reshape(shape + (W,))
 
 
 def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int,
@@ -224,6 +274,9 @@ def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int,
             idx = jnp.clip((cand_wstart - s0) // cfg.diag_bin, 0, nd - 1)
             flat = jnp.clip(cand_ref, 0, R - 1) * nd + idx
             return jnp.take(tbl, flat, axis=0)
+        # full-Greengenes scale: the table would be GBs - use the two-level
+        # row gather (bit-identical; no silent throughput cliff, VERDICT r1)
+        return _gather_windows_twolevel(ref_seqs, cand_ref, cand_wstart, W, cfg)
     cols = cand_wstart[..., None] + jnp.arange(W, dtype=jnp.int32)
     in_range = (cols >= 0) & (cols < ref_seqs.shape[1])
     g = ref_seqs[cand_ref[..., None], jnp.clip(cols, 0, ref_seqs.shape[1] - 1)]

@@ -114,3 +114,27 @@ def test_bin_parity(aligned_pair, small_tax, cfg):
         jnp.asarray(small_tax.anc_path), jnp.asarray(small_tax.depth), cfg,
     ))
     np.testing.assert_array_equal(b_np, b_jx)
+
+
+def test_gather_windows_twolevel_parity(small_ds, small_index, cfg):
+    """The scale-proof two-level window gather (config-3 index sizes) must be
+    bit-identical to the strided table AND to the off-grid element gather on
+    the same on-grid candidates."""
+    from rambl_tpu.ops.seed import _gather_windows_twolevel
+
+    table = SeedTable.from_index(small_index)
+    c = seed_candidates_jax(
+        jnp.asarray(small_ds.reads[:N]), jnp.asarray(small_ds.read_lens[:N]),
+        table, cfg,
+    )
+    W = cfg.window_len
+    refs = jnp.asarray(small_ds.ref_seqs)
+    w_table = np.asarray(gather_windows_jax(
+        refs, c["cand_ref"], c["cand_wstart"], W, cfg))
+    w_two = np.asarray(_gather_windows_twolevel(
+        refs, c["cand_ref"], c["cand_wstart"], W, cfg))
+    w_elem = np.asarray(gather_windows_jax(
+        refs, c["cand_ref"], c["cand_wstart"], W, None))
+    np.testing.assert_array_equal(w_two, w_table)
+    v = np.asarray(c["cand_valid"])
+    np.testing.assert_array_equal(w_two[v], w_elem[v])
