@@ -57,6 +57,15 @@ class PipelineConfig:
 
     # ---- binning ----
     bin_score_delta: int = 0         # hits within delta of best vote for LCA
+    # multi-mapped reads binned at an ancestor are shared down the tree to
+    # descendant leaves (RAMBL semantics), but only within this many ranks:
+    # a read binned at depth d joins leaves of depth <= d + bin_share_depth.
+    # 10 (= MAX_DEPTH) is unlimited sharing - the exact pre-round-2 rule.
+    # Full-DB configs MUST bound it: conserved-region reads that LCA to the
+    # root are members of every leaf, which makes all ~1e5 leaves "active"
+    # (memory/compute explosion) and crowds real reads out of the capped
+    # member tables.
+    bin_share_depth: int = 10
 
     # ---- DP-means clustering ----
     # DP-means spawn threshold lambda as an exact rational num/den so that all
@@ -135,6 +144,11 @@ class PipelineConfig:
     # full-Greengenes taxonomy would need terabytes dense; a sample only
     # touches its active leaves' ancestor chains) - pipeline/pileup.py
     pileup_slot_nodes: int = 4096
+    # cluster/consensus leaves processed per device call (0 = all at once).
+    # The per-leaf tensors are (NL, max_bin_reads, ...): at full-DB scale
+    # thousands of leaves can be active, so NL must be blocked to bound
+    # memory - leaves are independent, so blocking is bitwise-neutral.
+    cluster_leaf_block: int = 0
     max_bin_reads: int = 4096        # member cap per leaf bin for clustering
                                      # (pileups are never capped; features /
                                      # cluster scatter use the first cap
@@ -187,10 +201,11 @@ PRESETS = {
     # 2. Small mock community: ~20 taxa, 1M reads, single host.
     "small": _preset(batch_size=8192, max_genes=64),
     # 3. Human gut metagenome: ~10M reads vs full Greengenes, single host.
-    "gut": _preset(batch_size=16384, max_genes=256, max_clusters_per_bin=16),
+    "gut": _preset(batch_size=16384, max_genes=256, max_clusters_per_bin=16,
+                   bin_share_depth=3),
     # 4. Multi-sample cohort: 5 metagenomes, shared sharded index.
     "cohort": _preset(batch_size=16384, max_genes=256, shard_index=True),
     # 5. Deep metagenome: >=100M reads, N>=2 hosts, sharded index + psum merge.
     "deep": _preset(batch_size=32768, max_genes=512, shard_index=True,
-                    max_clusters_per_bin=16),
+                    max_clusters_per_bin=16, bin_share_depth=3),
 }

@@ -93,8 +93,19 @@ def simulate_dataset(
     indel_error: float = 0.0005,
     seed: int = 0,
     skewed_abundance: bool = True,
+    leaf_per_ref: bool = False,
+    n_present: int | None = None,
 ) -> SimulatedDataset:
-    """Build a mock community. Default sizes = driver config 1 (BASELINE.json:7)."""
+    """Build a mock community. Default sizes = driver config 1 (BASELINE.json:7).
+
+    leaf_per_ref gives every reference its OWN taxonomy leaf below its
+    species node - the shape of a real Greengenes DB through the CLI's
+    _load_taxonomy (each ref is a distinct OTU leaf); the default groups
+    strains under one species leaf (the config-2 multi-strain shape).
+
+    n_present restricts the community: reads are drawn from only that many
+    randomly-chosen references (a gut sample vs the full DB - BASELINE
+    config 3), all other refs exist only in the index."""
     rng = np.random.default_rng(seed)
 
     # --- per-position mutation rates from region structure ---
@@ -149,7 +160,14 @@ def simulate_dataset(
             strain = _mutate(lineages[s], rates, rng, scale=0.15) if j else lineages[s]
             ref_names.append(f"sp{s}_strain{j}")
             ref_seq_list.append(strain)
-            ref_taxon.append(species_leaf[s])
+            if leaf_per_ref:
+                # distinct OTU leaf per reference under the species node
+                # (real-Greengenes shape; identity column maps)
+                path = tuple((r, s * sizes[r] // n_species)
+                             for r in range(7)) + (("ref", s, j),)
+                ref_taxon.append(_node(path))
+            else:
+                ref_taxon.append(species_leaf[s])
     n_refs = len(ref_names)
     ref_seqs = np.full((n_refs, ref_len_max), 4, dtype=np.int8)
     ref_lens = np.zeros((n_refs,), dtype=np.int32)
@@ -162,6 +180,11 @@ def simulate_dataset(
         ab = rng.lognormal(0.0, 1.0, size=n_refs)
     else:
         ab = np.ones(n_refs)
+    if n_present is not None and n_present < n_refs:
+        present = rng.choice(n_refs, size=n_present, replace=False)
+        mask = np.zeros(n_refs, bool)
+        mask[present] = True
+        ab = np.where(mask, ab, 0.0)
     ab = ab / ab.sum()
 
     # --- reads (vectorized; only the rare indel reads take a python loop) ---

@@ -112,7 +112,10 @@ def build_seed_index(
 
     n_entries = keys.shape[0]
     if n_bits is None:
-        n_bits = max(8, int(np.ceil(np.log2(max(n_entries, 1) * 2 + 1))))
+        # cap at 2^27 buckets: a full-Greengenes index (~150M entries) would
+        # otherwise allocate a 2+ GB bucket_start array for marginal benefit
+        # (the capped bucket scan tolerates load factors > 1)
+        n_bits = min(27, max(8, int(np.ceil(np.log2(max(n_entries, 1) * 2 + 1)))))
 
     bucket = hash_kmer(keys, n_bits)
     # Sort by (bucket, key, ref, pos): deterministic capped scans.

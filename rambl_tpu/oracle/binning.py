@@ -34,10 +34,16 @@ def bin_reads(res: AlignmentResult, tables: TaxonomyTables, cfg: PipelineConfig)
 
 
 def leaf_membership(
-    bins: np.ndarray, leaf: int, tables: TaxonomyTables
+    bins: np.ndarray, leaf: int, tables: TaxonomyTables,
+    share_depth: int | None = None,
 ) -> np.ndarray:
-    """Bool mask of reads contributing to `leaf`: binned at the leaf or at any
-    of its ancestors."""
-    anc = set(int(a) for a in tables.anc_path[leaf])
+    """Bool mask of reads contributing to `leaf`: binned at the leaf or at an
+    ancestor within `share_depth` ranks above it (None = unlimited - the
+    classic share-down-the-tree rule; cfg.bin_share_depth bounds it for
+    full-DB configs where root-binned conserved reads would join every
+    leaf)."""
+    dl = int(tables.depth[leaf])
+    lo = 0 if share_depth is None else max(0, dl - share_depth)
+    anc = set(int(tables.anc_path[leaf, d]) for d in range(lo, dl + 1))
     anc.add(leaf)
     return np.isin(bins, list(anc))

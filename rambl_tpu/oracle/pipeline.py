@@ -127,7 +127,8 @@ def assemble_round(
         bins_used=0,
     )
     for leaf in leaves.tolist():
-        members = leaf_membership(bins, leaf, tables) & res.aligned
+        members = leaf_membership(
+            bins, leaf, tables, cfg.bin_share_depth) & res.aligned
         n_mem = int(members.sum())
         if n_mem < cfg.min_cluster_reads:
             continue

@@ -15,9 +15,13 @@ and, unlike re-aligning against the panel itself, a read whose private
 mutation the panel got WRONG still binned correctly against the original
 reference, so its corrective vote is not lost to a cross-gene tie.
 
-Coordinates: offset-preserving panels keep every round's columns in the
-round-0 per-leaf anchor system (index.colmap), so round-0 projected read
-columns address gene bases directly through the final panel's column maps.
+Coordinates: each gene is globally NW-aligned (index.colmap._nw_map - exact,
+deterministic host DP) onto its leaf ANCHOR's original reference sequence,
+mapping every gene base to the round-0 pileup column directly. The previous
+offset+i contiguity assumption broke whenever call_consensus dropped an
+INTERIOR column (zero coverage / deletion rule): every base after the first
+hole read a shifted pileup column and polish confidently "corrected" the
+whole tail (measured: 74/100 -> 28/100 recovery at the config-3 shape).
 
 Override rule: a gene base changes only on DEEP, DECISIVE evidence - depth >=
 polish_min_depth, a unique winning base holding >= polish_maj_num /
@@ -75,22 +79,39 @@ def leaf_exclusive_counts(
     return counts
 
 
+def anchor_seqs_of(ref_seqs: np.ndarray, ref_lens: np.ndarray,
+                   ref_taxon: np.ndarray) -> Dict[int, np.ndarray]:
+    """{taxon: anchor ref sequence (unpadded int8)} - the lowest-index
+    reference per leaf, i.e. the leaf's pileup coordinate system
+    (index.colmap.anchor_of_leaf)."""
+    out: Dict[int, np.ndarray] = {}
+    for r, t in enumerate(np.asarray(ref_taxon).tolist()):
+        if int(t) not in out:
+            out[int(t)] = np.asarray(ref_seqs[r, : int(ref_lens[r])])
+    return out
+
+
 def apply_polish(genes: List, counts: Dict[int, np.ndarray],
-                 col_map: np.ndarray, cfg: PipelineConfig):
+                 anchor_seqs: Dict[int, np.ndarray], cfg: PipelineConfig):
     """Override gene bases where the leaf-exclusive vote is deep and decisive.
 
-    col_map: the FINAL panel's column maps (gene base i -> global column).
+    anchor_seqs: {taxon: anchor reference sequence} - each gene is NW-mapped
+    onto its anchor to address the round-0 pileup columns exactly (robust to
+    interior emit holes and cross-round offset drift).
     Returns (new_genes, n_changed)."""
+    from rambl_tpu.index.colmap import _nw_map
+
     out = []
     changed = 0
     for gi, g in enumerate(genes):
         c_leaf = counts.get(int(g.taxon))
-        if c_leaf is None:
+        aseq = anchor_seqs.get(int(g.taxon))
+        if c_leaf is None or aseq is None:
             out.append(g)
             continue
         ref_len = c_leaf.shape[0]
         L = g.seq.shape[0]
-        gcols = col_map[gi, g.offset: g.offset + L]          # global coords
+        gcols = _nw_map(aseq, g.seq)                         # global coords
         c = c_leaf[np.clip(gcols, 0, ref_len - 1)]           # (L, 4)
         tot = c.sum(axis=1)
         srt = np.sort(c, axis=1)
@@ -132,14 +153,10 @@ def polish_genes(
     """Leaf-exclusive polish of the final panel. `counts` may be supplied by
     a caller that retained the round-0 node pileups (the device path does);
     otherwise they are recomputed bit-identically. Returns (genes, changed)."""
-    from rambl_tpu.oracle.pipeline import pad_panel, panel_tables
-
     if not genes:
         return genes, 0
     if counts is None:
         counts = leaf_exclusive_counts(
             reads, read_lens, ref_seqs, ref_lens, tables, cfg)
-    pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
-    ptab = panel_tables(genes, tables)
-    col_map = build_col_maps(pseqs, plens, ptab.ref_taxon)
-    return apply_polish(genes, counts, col_map, cfg)
+    anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
+    return apply_polish(genes, counts, anchor, cfg)

@@ -91,6 +91,15 @@ def _slot_pileup(query, ref_col, bins, node2slot, n_slots: int, ref_len: int):
     return node_slot_pileup(query, ref_col, bins, node2slot, n_slots, ref_len)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fill_rows(buf, val, start):
+    """In-place (donated) write of a batch block into a retention buffer -
+    streaming keeps ONE preallocated array per per-read output instead of a
+    list + concatenate, which would double peak memory at config-3 scale."""
+    return jax.lax.dynamic_update_slice(
+        buf, val, (start,) + (0,) * (buf.ndim - 1))
+
+
 def cluster_round0_core(query, ref_col, bins, counts, span_diff,
                         read_count, leaves, anc_path, depth,
                         cfg: PipelineConfig, node2slot=None):
@@ -105,11 +114,12 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
 
     if node2slot is None:
         leaf_counts, leaf_span = leaf_pileup(
-            counts, span_diff, leaves, anc_path, depth)
+            counts, span_diff, leaves, anc_path, depth, cfg.bin_share_depth)
         excl_counts = counts[leaves]
     else:
         leaf_counts, leaf_span = leaf_pileup_slots(
-            counts, span_diff, node2slot, leaves, anc_path, depth)
+            counts, span_diff, node2slot, leaves, anc_path, depth,
+            cfg.bin_share_depth)
         ls = node2slot[leaves]
         excl_counts = jnp.where(
             (ls >= 0)[:, None, None],
@@ -135,14 +145,29 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     order, nstart, nend = bin_sort(bins, anc_path.shape[0])
     midx, mvalid = member_table_ranges(
         order, nstart, nend, leaves, anc_path, depth,
-        min(cfg.max_bin_reads, bins.shape[0]))
-    cs, bs = sorted_col_base(query, ref_col)
-    feat = leaf_features(cs, bs, midx, mvalid, pol_cols, pol_valid)
+        min(cfg.max_bin_reads, bins.shape[0]), cfg.bin_share_depth)
+    # member read tensors; ref_col may arrive int16 (streaming retention) -
+    # widen only AFTER the member gather so the full-read-range array never
+    # materializes in int32 (config-3: 10M reads x 128 cols)
+    qm = query[midx]                                     # (NL, M, L)
+    rcm = ref_col[midx].astype(jnp.int32)
+    B = bins.shape[0]
+    NL, M = midx.shape
+    if B <= NL * M:
+        # few reads: sort every read once, gather member rows of the result
+        cs_all, bs_all = sorted_col_base(query, ref_col.astype(jnp.int32))
+        mc, mb = cs_all[midx], bs_all[midx]
+    else:
+        # config-3/5 scale: sort only the gathered member rows (B >> NL*M).
+        # sorted_col_base is row-independent, so both orders are bitwise equal
+        L = query.shape[1]
+        mc, mb = sorted_col_base(qm.reshape(NL * M, L), rcm.reshape(NL * M, L))
+        mc = mc.reshape(NL, M, L)
+        mb = mb.reshape(NL, M, L)
+    feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
     can_seed = (bins[midx] == leaves[:, None]) & mvalid  # leaf-exclusive only
     dp = dp_means_leaves(feat, can_seed, cfg)
 
-    qm = query[midx]
-    rcm = ref_col[midx]
     cons = cluster_consensus_leaves(
         qm, rcm, mvalid, dp.assign, pm, leaf_counts, leaf_span, cfg
     )
@@ -153,7 +178,8 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
 
     # node-space counts at the leaf itself = leaf-EXCLUSIVE pileup
     mh = minor_haplotype_leaves(excl_counts, leaf_counts, leaf_span, cfg)
-    n_mem = _chain_read_count(read_count, leaves, anc_path, depth)
+    n_mem = _chain_read_count(read_count, leaves, anc_path, depth,
+                              cfg.bin_share_depth)
     return cons, dp.kact, n_mem, mh
 
 
@@ -236,7 +262,22 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
         sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
         return jax.device_put(padded[sl]), jax.device_put(plens[sl])
 
-    outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
+    # retention buffers, filled IN PLACE (donated dynamic_update_slice): a
+    # list + concatenate would double peak memory at config-3 scale (10M
+    # reads). ref_col is retained as int16 - projected anchor columns are
+    # < ref_len_max <= 32767 so the round-trip is exact; consumers widen
+    # inside their jits (node_pileup / cluster_round0_core).
+    BT = nb * cfg.batch_size
+    L = padded.shape[1]
+    compact = ref_len <= 32767
+    bufs = {
+        "query": jnp.zeros((BT, L), jnp.int8),
+        "ref_col": jnp.zeros((BT, L), jnp.int16 if compact else jnp.int32),
+        "bins": jnp.zeros((BT,), jnp.int32),
+        "score": jnp.zeros((BT,), jnp.int32),
+        "ref": jnp.zeros((BT,), jnp.int32),
+        "strand": jnp.zeros((BT,), jnp.int8),
+    }
     nxt = _put(0)
     for i in range(nb):
         cur, nxt = nxt, (_put(i + 1) if i + 1 < nb else None)
@@ -250,13 +291,12 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
             )
         else:
             read_count = _read_count_accum(b, read_count, n_nodes)
+        if compact:
+            rc = rc.astype(jnp.int16)
         for k, v in zip(("query", "ref_col", "bins", "score", "ref", "strand"),
                         (q, rc, b, sc, rf, st)):
-            outs[k].append(v)
-    merged = {
-        k: (jnp.concatenate(v)[:B] if nb > 1 else v[0][:B])
-        for k, v in outs.items()
-    }
+            bufs[k] = _fill_rows(bufs[k], v, i * cfg.batch_size)
+    merged = {k: (v if BT == B else v[:B]) for k, v in bufs.items()}
     return merged, counts, span_diff, read_count
 
 
@@ -458,7 +498,8 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
         anc = tables.anc_path
         leaves_all = np.unique(tables.ref_taxon)
         dd = np.arange(anc.shape[1])
-        usem = dd[None, :] <= tables.depth[leaves_all][:, None]
+        dl = tables.depth[leaves_all][:, None]
+        usem = (dd[None, :] <= dl) & (dd[None, :] >= dl - cfg.bin_share_depth)
         n_mem_leaf = (rc_host[anc[leaves_all]] * usem).sum(axis=1)
         leaves = leaves_all[n_mem_leaf >= cfg.min_cluster_reads]
         stats0 = dict(round=round_idx,
@@ -466,9 +507,12 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
                       n_leaves=int(leaves.size), genes=0)
         if leaves.size == 0:
             return [], stats0
+        # slots for every chain node inside the share window with any reads
+        dlv = tables.depth[leaves][:, None]
+        win = (dd[None, :] <= dlv) & (dd[None, :] >= dlv - cfg.bin_share_depth)
         need = np.zeros(tables.n_nodes, bool)
-        for d in range(anc.shape[1]):
-            need[anc[leaves, d]] = True
+        chain_nodes = anc[leaves]
+        need[chain_nodes[win]] = True
         need &= rc_host > 0
         ids = np.nonzero(need)[0].astype(np.int32)
         node2slot = np.full(tables.n_nodes, -1, np.int32)
@@ -500,38 +544,62 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     # counts drift) reuse one compiled executable; duplicate pad leaves
     # produce byte-identical genes that dedupe away. On a mesh the bucket
     # also divides the device count (leaf-sharded EP cluster step).
+    # cfg.cluster_leaf_block bounds the per-call leaf count: the per-leaf
+    # member tensors are (NL, max_bin_reads, ...) and at full-DB scale NL
+    # can reach thousands - leaves are independent, so blocking is
+    # bitwise-neutral; every block pads to one shared bucket size.
     NL = leaves.size
     m = 8 if mesh is None else int(np.lcm(8, mesh.devices.size))
-    bucket = max(m, -(-NL // m) * m)
-    leaves_p = np.concatenate(
-        [leaves, np.full(bucket - NL, leaves[0], leaves.dtype)])
-    if mesh is not None:
-        from rambl_tpu.parallel.mesh import put_replicated, put_sharded
-        from rambl_tpu.parallel.steps import make_cluster_step
+    blk = cfg.cluster_leaf_block if cfg.cluster_leaf_block > 0 else NL
+    blk = max(m, -(-blk // m) * m)
+    bucket = min(blk, max(m, -(-NL // m) * m))
 
-        cstep = make_cluster_step(mesh, cfg, slots=node2slot_d is not None)
-        cargs = [
+    def _cluster_block(lb):
+        lp = np.concatenate([lb, np.full(bucket - lb.size, leaves[0],
+                                         leaves.dtype)])
+        if mesh is not None:
+            from rambl_tpu.parallel.mesh import put_replicated, put_sharded
+            from rambl_tpu.parallel.steps import make_cluster_step
+
+            cstep = make_cluster_step(mesh, cfg, slots=node2slot_d is not None)
+            cargs = [
+                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                jnp.asarray(rec["bins"]), counts, span_diff, read_count,
+                put_sharded(lp, mesh),
+                put_replicated(tables.anc_path, mesh),
+                put_replicated(tables.depth, mesh),
+            ]
+            if node2slot_d is not None:
+                cargs.append(node2slot_d)
+            return cstep(*cargs)
+        return _cluster_consensus_round0(
             jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
             jnp.asarray(rec["bins"]), counts, span_diff, read_count,
-            put_sharded(leaves_p, mesh),
-            put_replicated(tables.anc_path, mesh),
-            put_replicated(tables.depth, mesh),
-        ]
-        if node2slot_d is not None:
-            cargs.append(node2slot_d)
-        cons, kact, n_mem, mh = cstep(*cargs)
-    else:
-        cons, kact, n_mem, mh = _cluster_consensus_round0(
-            jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
-            jnp.asarray(rec["bins"]), counts, span_diff, read_count,
-            jnp.asarray(leaves_p), jnp.asarray(tables.anc_path),
+            jnp.asarray(lp), jnp.asarray(tables.anc_path),
             jnp.asarray(tables.depth), cfg, node2slot_d,
         )
-    mh = type(mh)(*(np.asarray(x)[:NL] for x in mh))
+
+    parts = []
+    for s in range(0, NL, blk):
+        lb = leaves[s: s + blk]
+        cons_b, kact_b, n_mem_b, mh_b = _cluster_block(lb)
+        n = lb.size
+        parts.append((
+            [np.asarray(x)[:n] for x in cons_b],
+            np.asarray(kact_b)[:n], np.asarray(n_mem_b)[:n],
+            [np.asarray(x)[:n] for x in mh_b],
+        ))
+    from rambl_tpu.pipeline.consensus import ConsensusOut, MinorHap
+
+    cons = ConsensusOut(*(np.concatenate([p[0][i] for p in parts])
+                          for i in range(3)))
+    kact = np.concatenate([p[1] for p in parts])
+    n_mem = np.concatenate([p[2] for p in parts])
+    mh = MinorHap(*(np.concatenate([p[3][i] for p in parts])
+                    for i in range(4)))
     genes = _genes_from_consensus(
-        np.asarray(cons.called)[:NL], np.asarray(cons.emit)[:NL],
-        np.asarray(cons.n_reads)[:NL], np.asarray(kact)[:NL], leaves,
-        np.asarray(n_mem)[:NL], cfg, round_idx, orig_taxon_of_node, mh=mh,
+        cons.called, cons.emit, cons.n_reads, kact, leaves,
+        n_mem, cfg, round_idx, orig_taxon_of_node, mh=mh,
     )
     stats = dict(
         round=round_idx,
@@ -577,9 +645,7 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
     `slot_counts`) no extra device work is needed; otherwise one align stream
     vs the original index recomputes it bit-identically.
     Returns (genes, n_changed)."""
-    from rambl_tpu.index.colmap import build_col_maps
-    from rambl_tpu.oracle.pipeline import pad_panel, panel_tables
-    from rambl_tpu.oracle.polish import apply_polish
+    from rambl_tpu.oracle.polish import anchor_seqs_of, apply_polish
 
     if not genes:
         return genes, 0
@@ -628,10 +694,8 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
                      if node2slot[int(l)] >= 0 else zeros)
             for l in np.unique([g.taxon for g in genes])
         }
-    pseqs, plens = pad_panel(genes, ref_seqs.shape[1])
-    ptab = panel_tables(genes, tables)
-    col_map = build_col_maps(pseqs, plens, ptab.ref_taxon)
-    return apply_polish(genes, counts_dict, col_map, cfg)
+    anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
+    return apply_polish(genes, counts_dict, anchor, cfg)
 
 
 def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,

@@ -34,16 +34,19 @@ def member_table(
     anc_path: jax.Array,  # (n_nodes, D) int32
     depth: jax.Array,     # (n_nodes,) int32
     max_members: int,
+    share_depth: int = MAX_DEPTH,
 ):
     """(NL, M) member read indices (ascending) + (NL, M) valid mask.
 
     A read is a member of a leaf iff its bin is on the leaf's ancestor chain
-    (leaf itself included) - oracle.binning.leaf_membership.
+    within share_depth ranks (leaf itself included) -
+    oracle.binning.leaf_membership.
     """
+    from rambl_tpu.pipeline.pileup import chain_use_mask
+
     B = bins.shape[0]
     paths = anc_path[leaves]                              # (NL, D)
-    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
-    use = dd[None, :] <= depth[leaves][:, None]           # (NL, D)
+    use = chain_use_mask(leaves, depth, share_depth)      # (NL, D)
     # member mask (NL, B): bins[b] equals any used ancestor
     m = (bins[None, :, None] == paths[:, None, :]) & use[:, None, :]
     member = m.any(axis=2)                                # (NL, B)
@@ -78,17 +81,19 @@ def member_table_ranges(
     anc_path: jax.Array,
     depth: jax.Array,
     max_members: int,
+    share_depth: int = MAX_DEPTH,
 ):
     """member_table without the (NL, B) mask: a leaf's members are the union
     of its <= MAX_DEPTH ancestor-node ranges in the bin-sorted read order.
     Each range is ascending in read index (stable sort), so the first
     max_members of the merged union == member_table's. O(NL * D * M) instead
     of O(NL * B) - the member path for full-Greengenes-scale taxonomies."""
+    from rambl_tpu.pipeline.pileup import chain_use_mask
+
     B = order.shape[0]
     M = max_members
     paths = anc_path[leaves]                              # (NL, D)
-    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
-    use = dd[None, :] <= depth[leaves][:, None]           # (NL, D)
+    use = chain_use_mask(leaves, depth, share_depth)      # (NL, D)
     # a node may repeat on a padded path; count each range once
     first = jnp.ones_like(paths, dtype=bool)
     for d in range(1, paths.shape[1]):
@@ -123,18 +128,19 @@ def sorted_col_base(query: jax.Array, ref_col: jax.Array):
 
 
 def leaf_features(
-    cols_sorted: jax.Array,   # (B, L)
-    base_sorted: jax.Array,   # (B, L)
-    member_idx: jax.Array,    # (NL, M)
+    mc: jax.Array,            # (NL, M, L) member cols_sorted
+    mb: jax.Array,            # (NL, M, L) member base_sorted
     member_valid: jax.Array,  # (NL, M)
     pol_cols: jax.Array,      # (NL, P) int32 column ids (padded arbitrary)
     pol_valid: jax.Array,     # (NL, P) bool
 ):
-    """feat (NL, M, P) int8: member base at polymorphic column, -1 uncovered."""
-    L = cols_sorted.shape[1]
+    """feat (NL, M, P) int8: member base at polymorphic column, -1 uncovered.
 
-    mc = cols_sorted[member_idx]      # (NL, M, L)
-    mb = base_sorted[member_idx]      # (NL, M, L)
+    Takes the member-gathered sorted-column arrays directly so the caller
+    can choose gather-then-sort (B >> NL*M, config-3/5 scale) or
+    sort-then-gather (small B) - bitwise identical either way because
+    sorted_col_base is row-independent."""
+    L = mc.shape[2]
 
     def one_read(cols_row, base_row, pcols):
         i = jnp.clip(jnp.searchsorted(cols_row, pcols), 0, L - 1)

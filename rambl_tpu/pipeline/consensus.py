@@ -182,12 +182,14 @@ def minor_haplotype_leaves(
     return MinorHap(called=called, emit=emit, n_reads=n_reads, n_cols=n_cols)
 
 
-def _chain_read_count(read_count, nodes, anc_path, depth):
-    """Reads binned anywhere on each node's ancestor chain (leaf membership
-    count without materializing per-read masks)."""
+def _chain_read_count(read_count, nodes, anc_path, depth,
+                      share_depth=None):
+    """Reads binned on each node's ancestor chain within share_depth ranks
+    (leaf membership count without materializing per-read masks)."""
     from rambl_tpu.index.taxonomy import MAX_DEPTH
+    from rambl_tpu.pipeline.pileup import chain_use_mask
 
     paths = anc_path[nodes]
-    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
-    use = dd[None, :] <= depth[nodes][:, None]
+    use = chain_use_mask(
+        nodes, depth, MAX_DEPTH if share_depth is None else share_depth)
     return jnp.sum(read_count[paths] * use, axis=1).astype(jnp.int32)

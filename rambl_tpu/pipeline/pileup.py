@@ -35,6 +35,9 @@ def node_pileup(
     int32). span_diff is the un-cumsum'd interval-difference array.
     """
     B, L = query.shape
+    # the streaming driver retains ref_col as int16 (values < ref_len_max
+    # round-trip exactly); widen inside the jit so the cast fuses
+    ref_col = ref_col.astype(jnp.int32)
     ok = (ref_col >= 0) & (query < 4) & (bins[:, None] >= 0)
     node = jnp.broadcast_to(jnp.clip(bins, 0, n_nodes - 1)[:, None], (B, L))
     col = jnp.clip(ref_col, 0, ref_len - 1)
@@ -63,12 +66,22 @@ def node_pileup(
     return counts, span_diff
 
 
+def chain_use_mask(leaves, depth, share_depth: int = MAX_DEPTH):
+    """(NL, MAX_DEPTH) bool: which anc_path depths contribute to each leaf -
+    depths in [depth(leaf) - share_depth, depth(leaf)] (the bounded
+    share-down-the-tree window, oracle.binning.leaf_membership)."""
+    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
+    dl = depth[leaves][:, None]
+    return (dd[None, :] <= dl) & (dd[None, :] >= dl - share_depth)
+
+
 def leaf_pileup(
     counts: jax.Array,      # (n_nodes, ref_len, 4)
     span_diff: jax.Array,   # (n_nodes, ref_len+1)
     leaves: jax.Array,      # (NL,) int32 leaf node ids
     anc_path: jax.Array,    # (n_nodes, MAX_DEPTH) int32
     depth: jax.Array,       # (n_nodes,) int32
+    share_depth: int = MAX_DEPTH,
 ):
     """Merge ancestor-chain node pileups per leaf.
 
@@ -77,11 +90,10 @@ def leaf_pileup(
 
     The ancestor chain of a leaf at depth d is anc_path[leaf, 0..d] (padding
     repeats the leaf itself, which must not be double counted - mask by
-    depth index).
+    depth index), bounded below by share_depth.
     """
     paths = anc_path[leaves]                     # (NL, D)
-    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
-    use = dd[None, :] <= depth[leaves][:, None]  # (NL, D)
+    use = chain_use_mask(leaves, depth, share_depth)
     c = counts[paths]                            # (NL, D, ref_len, 4)
     leaf_counts = jnp.sum(c * use[:, :, None, None], axis=1)
     s = span_diff[paths]                         # (NL, D, ref_len+1)
@@ -118,13 +130,13 @@ def leaf_pileup_slots(
     leaves: jax.Array,       # (NL,)
     anc_path: jax.Array,
     depth: jax.Array,
+    share_depth: int = MAX_DEPTH,
 ):
     """leaf_pileup over slot-compacted accumulators (chain nodes without a
     slot contribute zero, exactly like zero-count nodes in the dense path)."""
     paths = anc_path[leaves]                     # (NL, D)
     slots = node2slot[paths]                     # (NL, D)
-    dd = jnp.arange(MAX_DEPTH, dtype=jnp.int32)
-    use = (dd[None, :] <= depth[leaves][:, None]) & (slots >= 0)
+    use = chain_use_mask(leaves, depth, share_depth) & (slots >= 0)
     sidx = jnp.clip(slots, 0, counts_s.shape[0] - 1)
     c = counts_s[sidx]                           # (NL, D, ref_len, 4)
     leaf_counts = jnp.sum(c * use[:, :, None, None], axis=1)

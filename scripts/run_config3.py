@@ -1,0 +1,88 @@
+"""Driver config 3: human-gut-shaped metagenome - ~10M reads vs a
+full-Greengenes-sized index (~100k refs), single host (BASELINE.json:9).
+
+Shape choices match a real Greengenes DB through the CLI: every reference is
+its own OTU leaf (identity column maps, as _load_taxonomy produces), the
+sample contains a few hundred present taxa with lognormal abundance, and the
+index holds all 100k refs. Exercises: the two-level window gather (the
+strided table would be ~2.2 GB), slot-compacted node pileups, int16
+streaming retention, and DP-means at scale.
+
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/run_config3.py [n_reads] [n_refs]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.data.simulate import simulate_dataset
+from rambl_tpu.index.builder import build_seed_index
+from rambl_tpu.index.taxonomy import build_taxonomy_tables
+from rambl_tpu.io.pack import decode_seq
+from rambl_tpu.pipeline.assemble import assemble_jax
+from rambl_tpu.utils.cache import enable_compile_cache
+
+
+def main():
+    enable_compile_cache()
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_refs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_present = 500
+    t0 = time.time()
+    ds = simulate_dataset(
+        n_species=n_refs // 5, refs_per_species=5, n_reads=n_reads, seed=13,
+        leaf_per_ref=True, n_present=n_present,
+    )
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    print(f"simulated {n_reads} reads vs {ds.n_refs} refs "
+          f"({n_present} present, {tax.n_nodes} taxonomy nodes) in "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    # batch divides n_reads when possible (no pad tail -> no retention slice)
+    batch = 16000 if n_reads % 16000 == 0 else 16384
+    cfg = PipelineConfig(batch_size=batch, max_genes=256,
+                         max_clusters_per_bin=16, max_assembly_iters=4,
+                         bin_share_depth=3, cluster_leaf_block=512)
+    t1 = time.time()
+    index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
+    print(f"index: {index.n_entries} entries, 2^{index.n_bits} buckets, "
+          f"built in {time.time() - t1:.0f}s", flush=True)
+
+    t2 = time.time()
+    res = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                       tax, cfg, shared_index=index)
+    wall = time.time() - t2
+    for s in res.round_stats:
+        print(s, flush=True)
+
+    def kmers(s, k=25):
+        return set(s[i: i + k] for i in range(len(s) - k + 1))
+
+    present = np.nonzero(ds.abundance > 0)[0]
+    # recovery counted against the detectable present refs (>= ~3x depth)
+    depth = np.bincount(ds.true_ref, minlength=ds.n_refs) * 100.0
+    detectable = present[depth[present] >= 3 * ds.ref_lens[present]]
+    refk = {int(r): kmers(decode_seq(ds.ref_seqs[r, : ds.ref_lens[r]]))
+            for r in present}
+    recovered = set()
+    for g in res.genes:
+        gk = kmers(decode_seq(g.seq))
+        best = max(refk, key=lambda r: len(gk & refk[r]))
+        cont = len(gk & refk[best]) / max(len(gk), 1)
+        if cont > 0.95:
+            recovered.add(best)
+    n_full = len(res.full_length(cfg))
+    aligns = sum(s.get("aligned", 0) for s in res.round_stats)
+    print(f"wall {wall:.0f}s | rounds {res.n_rounds} converged {res.converged}")
+    print(f"genes {len(res.genes)} full-length {n_full} | "
+          f"recovered>95% {len(recovered & set(int(x) for x in detectable))}"
+          f"/{detectable.size} detectable ({present.size} present)")
+    print(f"effective throughput {aligns / wall:.0f} reads/s (all stages, "
+          f"{aligns} alignments)")
+    print(f"genes assembled/hour {len(res.genes) / (wall / 3600):.0f}")
+
+
+if __name__ == "__main__":
+    main()

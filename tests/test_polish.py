@@ -2,7 +2,8 @@
 
 The end-to-end oracle==device polish parity is covered by
 tests/test_assembly_parity.py::test_full_assembly_parity (cfg.polish defaults
-on); these tests pin the column-level override semantics.
+on); these tests pin the column-level override semantics and the NW-based
+gene->anchor coordinate mapping (robust to interior emit holes).
 """
 
 import numpy as np
@@ -17,15 +18,15 @@ def mk_gene(seq, taxon=7, offset=0):
                 cluster=0, round_born=0, taxon=taxon, offset=offset)
 
 
-def identity_cmap(n_genes, ref_len):
-    return np.broadcast_to(
-        np.arange(ref_len, dtype=np.int32), (n_genes, ref_len)).copy()
-
-
 def counts_for(seq, depth, ref_len):
     c = np.zeros((ref_len, 4), np.int32)
     c[np.arange(len(seq)), np.asarray(seq)] = depth
     return c
+
+
+def anchors_for(seq, taxon=7):
+    # anchor == the gene layout: NW maps gene base i -> column i
+    return {taxon: np.asarray(seq, np.int8)}
 
 
 def test_decisive_majority_overrides():
@@ -34,7 +35,7 @@ def test_decisive_majority_overrides():
     c = counts_for([0, 1, 2, 3], 10, 8)
     c[2] = 0
     c[2, 0] = 9          # unanimous A where the gene says G
-    genes, changed = apply_polish([g], {7: c}, identity_cmap(1, 8), cfg)
+    genes, changed = apply_polish([g], {7: c}, anchors_for([0, 1, 2, 3]), cfg)
     assert changed == 1
     assert genes[0].seq.tolist() == [0, 1, 0, 3]
 
@@ -48,7 +49,7 @@ def test_polymorphic_column_untouched():
     c[2] = 0
     c[2, 0] = 20         # major A (2/3)...
     c[2, 2] = 10         # ...but G is a real 1/3 minor allele: keep gene's G
-    genes, changed = apply_polish([g], {7: c}, identity_cmap(1, 8), cfg)
+    genes, changed = apply_polish([g], {7: c}, anchors_for([0, 1, 2, 3]), cfg)
     assert changed == 0
     assert genes[0].seq.tolist() == [0, 1, 2, 3]
 
@@ -62,23 +63,23 @@ def test_thin_or_indecisive_votes_keep_base():
     c[3] = 0
     c[3, 0] = 5
     c[3, 1] = 4                               # 5/9 < 2/3: indecisive
-    genes, changed = apply_polish([g], {7: c}, identity_cmap(1, 8), cfg)
+    genes, changed = apply_polish([g], {7: c}, anchors_for([0, 1, 2, 3]), cfg)
     assert changed == 0
     assert genes[0].seq.tolist() == [0, 1, 2, 3]
 
 
 def test_unmapped_and_foreign_taxon_untouched():
     cfg = PipelineConfig()
+    # g1's first base is an INSERTION relative to its 1-base anchor -> NW
+    # maps it to -1 (unmapped: untouched); the second base maps to column 0
     g1 = mk_gene([0, 1], taxon=7)
     g2 = mk_gene([2, 3], taxon=9)             # no counts for taxon 9
-    cmap = identity_cmap(2, 8).copy()
-    cmap[0, 1] = -1                           # unmapped column
     c = np.zeros((8, 4), np.int32)
     c[0, 3] = 10
-    c[1, 3] = 10
-    genes, changed = apply_polish([g1, g2], {7: c}, cmap, cfg)
-    assert changed == 1                       # only g1[0] flips to T
-    assert genes[0].seq.tolist() == [3, 1]
+    genes, changed = apply_polish(
+        [g1, g2], {7: c}, {7: np.asarray([1], np.int8)}, cfg)
+    assert changed == 1                       # only g1[1] flips to T
+    assert genes[0].seq.tolist() == [0, 3]
     assert genes[1].seq.tolist() == [2, 3]
 
 
@@ -87,8 +88,25 @@ def test_substitution_only_invariants():
     g = mk_gene([0, 1, 2, 3], offset=2)
     c = np.zeros((8, 4), np.int32)
     c[2:6, 3] = 10
-    cmap = identity_cmap(1, 8)
-    genes, changed = apply_polish([g], {7: c}, cmap, cfg)
+    genes, changed = apply_polish([g], {7: c}, anchors_for([0, 1, 2, 3]), cfg)
     assert genes[0].seq.shape == g.seq.shape
     assert genes[0].offset == g.offset
     assert genes[0].taxon == g.taxon
+
+
+def test_interior_hole_coordinates():
+    """A gene whose consensus dropped an INTERIOR column must still read the
+    pileup at the true downstream columns (the round-1 offset+i contiguity
+    bug shifted every base after the hole and polish corrupted the tail)."""
+    cfg = PipelineConfig()
+    anchor = np.asarray([0, 1, 2, 3, 0, 1, 2, 3], np.int8)
+    # gene = anchor with column 3 deleted (interior hole)
+    g = mk_gene([0, 1, 2, 0, 1, 2, 3], offset=0)
+    c = counts_for(anchor, 10, 8)
+    # deep decisive disagreement at anchor column 6 (gene position 5)
+    c[6] = 0
+    c[6, 0] = 9
+    genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
+    assert changed == 1
+    # gene pos 5 (anchor col 6) flips to A; everything else untouched
+    assert genes[0].seq.tolist() == [0, 1, 2, 0, 1, 0, 3]

@@ -139,3 +139,26 @@ def test_huge_taxonomy_smoke():
     leaves_with_genes = {g.taxon for g in res.genes}
     assert set(leaf_ids.tolist()) <= leaves_with_genes
     assert len(res.full_length(cfg)) >= 4
+
+
+def test_cluster_leaf_block_parity():
+    """Leaf-blocked clustering (cfg.cluster_leaf_block) is bitwise equal to
+    the single-call path - leaves are independent."""
+    import dataclasses
+
+    from rambl_tpu.config import PipelineConfig
+    from rambl_tpu.data.simulate import simulate_dataset
+    from rambl_tpu.index.taxonomy import build_taxonomy_tables
+    from rambl_tpu.pipeline.assemble import assemble_round_jax
+
+    cfg = PipelineConfig(batch_size=128)
+    ds = simulate_dataset(n_species=6, refs_per_species=2, n_reads=400,
+                          seed=4, skewed_abundance=False)
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    g1, _ = assemble_round_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                               ds.ref_lens, tax, cfg, 0)
+    cfg_b = dataclasses.replace(cfg, cluster_leaf_block=2)
+    g2, _ = assemble_round_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                               ds.ref_lens, tax, cfg_b, 0)
+    assert [(g.key(), g.n_reads, g.leaf, g.cluster) for g in g1] == \
+           [(g.key(), g.n_reads, g.leaf, g.cluster) for g in g2]
