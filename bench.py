@@ -95,18 +95,56 @@ def main():
     q = jnp.asarray(rng.integers(0, 5, (pairs, L)).astype("int8"))
     w = jnp.asarray(rng.integers(0, 4, (pairs, W)).astype("int8"))
     g = jax.jit(functools.partial(sw_score_pallas, sc=cfg.scoring))
-    fetch(g(q, w))
+
+    # COMPILED-mode parity gate: the CI suite runs the kernel in interpret
+    # mode only; assert the on-chip Mosaic compilation against the NumPy
+    # oracle before reporting any perf number (silent-corruption guard)
+    from rambl_tpu.oracle.sw import sw_batch
+
+    npairs_chk = 256
+    s_tp, ie_tp, je_tp = (np.asarray(x)[:npairs_chk] for x in g(q, w))
+    s_np, ie_np, je_np = sw_batch(
+        np.asarray(q[:npairs_chk]), np.asarray(w[:npairs_chk]), cfg.scoring,
+        want_dirs=False,
+    )[:3]
+    np.testing.assert_array_equal(s_np, s_tp)
+    np.testing.assert_array_equal(ie_np, ie_tp)
+    np.testing.assert_array_equal(je_np, je_tp)
+    log(f"sw compiled-mode parity: OK ({npairs_chk} pairs vs NumPy oracle)")
+
     t0 = time.time()
     fetch(g(q, w))
     sw_per = time.time() - t0
     gcups = pairs * L * W / sw_per / 1e9
     log(f"sw_score_pallas: {sw_per * 1000:.1f} ms/{pairs} pairs = {gcups:.1f} GCUPS")
 
+    # end-to-end assembly -> full-length 16S genes/hour (driver metric B:2)
+    from rambl_tpu.data.simulate import simulate_dataset
+    from rambl_tpu.index.taxonomy import build_taxonomy_tables
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    ds2 = simulate_dataset(n_species=5, refs_per_species=2, n_reads=4096,
+                           seed=3, skewed_abundance=False)
+    tax2 = build_taxonomy_tables(ds2.tax_parent, ds2.tax_depth, ds2.ref_taxon)
+    cfg2 = PipelineConfig(batch_size=2048, max_assembly_iters=3)
+    t0 = time.time()
+    res2 = assemble_jax(ds2.reads, ds2.read_lens, ds2.ref_seqs, ds2.ref_lens,
+                        tax2, cfg2)
+    e2e_wall = time.time() - t0
+    n_full = len(res2.full_length(cfg2))
+    genes_per_hour = n_full / (e2e_wall / 3600.0)
+    log(f"e2e assembly: {e2e_wall:.1f}s, {len(res2.genes)} genes "
+        f"({n_full} full-length) = {genes_per_hour:.0f} genes/hour "
+        f"(toy mock community, {res2.n_rounds} rounds + polish)")
+
     print(json.dumps({
         "metric": "reads_aligned_per_s_per_chip",
         "value": round(float(reads_per_s), 1),
         "unit": "reads/s",
         "vs_baseline": round(float(reads_per_s) / BWA_NODE_READS_PER_S, 3),
+        "sw_gcups": round(float(gcups), 1),
+        "genes_per_hour": round(float(genes_per_hour), 1),
+        "e2e_wall_s": round(float(e2e_wall), 1),
     }))
 
 

@@ -157,9 +157,12 @@ def cmd_assemble(args) -> int:
     else:
         from rambl_tpu.pipeline.assemble import assemble_jax
 
+        # per-round checkpoints: a crash/kill anywhere leaves the last round
+        # boundary resumable (--resume-from); the final save below overwrites
         results = [assemble_jax(samples[0][0], samples[0][1], ref_seqs,
                                 ref_lens, tables, cfg,
-                                initial_panel=initial_panel, mesh=mesh)]
+                                initial_panel=initial_panel, mesh=mesh,
+                                checkpoint_path=args.checkpoint)]
     if args.profile:
         import jax
 

@@ -717,7 +717,7 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
 
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
                  cfg: PipelineConfig, shared_index=None, initial_panel=None,
-                 mesh=None):
+                 mesh=None, checkpoint_path=None):
     """Device version of oracle.pipeline.assemble (same convergence loop:
     every round is a full discovery round; the panel maps genes back to
     their provenance taxa - see oracle.pipeline.panel_tables).
@@ -725,12 +725,22 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     initial_panel resumes from a checkpointed panel (discovery skipped).
     mesh runs every stage (align/pileup/cluster/polish) under shard_map over
     the 'data' axis - the product-level multi-device path, bitwise equal to
-    single-device (tests/test_distributed.py)."""
+    single-device (tests/test_distributed.py).
+    checkpoint_path, if given, atomically saves the loop panel after EVERY
+    round (fault tolerance, SURVEY.md section 5: a crash/kill anywhere
+    leaves the last round boundary on disk; deterministic rounds make the
+    resumed continuation bitwise - tests/test_faults.py)."""
     from rambl_tpu.oracle.pipeline import (
         AssemblyResult,
         pad_panel,
         panel_tables,
     )
+
+    from rambl_tpu.utils.checkpoint import save_checkpoint
+
+    def _ckpt(genes, round_idx, stats):
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, cfg, genes, round_idx, stats)
 
     round_stats = []
     aux = {} if cfg.polish else None
@@ -740,6 +750,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             index=shared_index, aux_out=aux, mesh=mesh,
         )
         round_stats.append(stats)
+        _ckpt(genes, 0, round_stats)
     else:
         genes = list(initial_panel)
         aux = None  # resumed: polish recomputes round-0 pileups
@@ -761,6 +772,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             n_bits=_panel_bits(cfg), mesh=mesh,
         )
         round_stats.append(stats)
+        _ckpt(genes, it, round_stats)
         new_key = tuple(sorted(g.key() for g in genes))
         # fixpoint OR cycle (deterministic rounds): stop on any repeat
         if new_key in seen:

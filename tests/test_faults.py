@@ -1,0 +1,155 @@
+"""Fault tolerance tier (SURVEY.md section 5 failure detection / recovery).
+
+Multi-host JAX is gang-scheduled: a host loss kills the step, and recovery is
+stage-level checkpointing + deterministic replay. These tests inject the
+failures this design must survive:
+
+- a crash mid-assembly (after an arbitrary round) leaves a per-round
+  checkpoint whose resumed continuation finishes the run;
+- a killed device step replays deterministically (bitwise-equal round);
+- a torn/corrupt checkpoint file is rejected loudly, never half-loaded
+  (save_checkpoint is atomic via os.replace, so a crash can only leave the
+  previous complete file or the new complete file).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.data.simulate import simulate_dataset
+from rambl_tpu.index.taxonomy import build_taxonomy_tables
+from rambl_tpu.pipeline.assemble import assemble_jax, assemble_round_jax
+from rambl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def prob():
+    cfg = PipelineConfig(max_assembly_iters=3, batch_size=128)
+    ds = simulate_dataset(n_species=3, refs_per_species=2, n_reads=400,
+                          seed=2, skewed_abundance=False)
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    return cfg, ds, tax
+
+
+def _keys(genes):
+    return [(g.key(), g.n_reads, g.leaf, g.cluster, g.taxon) for g in genes]
+
+
+def test_crash_after_round_resumes_bitwise(prob, tmp_path):
+    """Kill the run after round 1; resume from the per-round checkpoint and
+    reach the same final panel as a run started from that same state."""
+    cfg, ds, tax = prob
+    ck = str(tmp_path / "panel.ckpt")
+
+    class Boom(RuntimeError):
+        pass
+
+    # interrupt the loop right after the round-1 checkpoint is written
+    import rambl_tpu.pipeline.assemble as asm
+
+    real_round = asm.assemble_round_jax
+    calls = {"n": 0}
+
+    def dying_round(*a, **kw):
+        out = real_round(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:          # round 0 + round 1 done -> crash
+            raise Boom()
+        return out
+
+    asm.assemble_round_jax = dying_round
+    try:
+        with pytest.raises(Boom):
+            assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                         tax, cfg, checkpoint_path=ck)
+    finally:
+        asm.assemble_round_jax = real_round
+
+    header, panel = load_checkpoint(ck)
+    assert header["round"] == 0  # crash hit before round-1 ckpt returned
+    assert panel, "per-round checkpoint missing after crash"
+
+    resumed = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                           tax, cfg, initial_panel=panel)
+    # reference: an uninterrupted run started from the same panel state
+    reference = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                             tax, cfg, initial_panel=panel)
+    assert _keys(resumed.genes) == _keys(reference.genes)
+
+
+def test_killed_step_replays_bitwise(prob):
+    """Deterministic replay: a round that died mid-flight (host loss kills
+    the gang-scheduled step) reruns to a bitwise-identical result."""
+    cfg, ds, tax = prob
+    g1, s1 = assemble_round_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                                ds.ref_lens, tax, cfg, 0)
+    # "kill" = discard everything and replay the same round from inputs
+    g2, s2 = assemble_round_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                                ds.ref_lens, tax, cfg, 0)
+    assert _keys(g1) == _keys(g2)
+    assert s1 == s2
+
+
+def test_torn_checkpoint_rejected(prob, tmp_path):
+    """A truncated checkpoint (torn write without the atomic rename) must
+    raise, not half-load."""
+    cfg, ds, tax = prob
+    from rambl_tpu.oracle.pipeline import Gene
+
+    genes = [Gene(seq=np.zeros(100, np.int8), n_reads=5, leaf=1, cluster=0,
+                  round_born=0, taxon=1, offset=0)]
+    ck = str(tmp_path / "panel.ckpt")
+    save_checkpoint(ck, cfg, genes, 1)
+    raw = open(ck, "rb").read()
+    torn = str(tmp_path / "torn.ckpt")
+    with open(torn, "wb") as f:
+        f.write(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        load_checkpoint(torn)
+    # and the intact file still loads
+    header, back = load_checkpoint(ck)
+    assert header["round"] == 1 and len(back) == 1
+
+
+def test_mesh_step_death_and_replay(prob):
+    """Mesh-mode fault: the sharded align stream dies mid-round (simulating
+    a device/host failure); a full replay on the same mesh is bitwise equal
+    to the single-device result."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (fake) devices")
+    from rambl_tpu.parallel.mesh import data_mesh
+
+    cfg, ds, tax = prob
+    mesh = data_mesh(8)
+
+    import rambl_tpu.pipeline.assemble as asm
+
+    real_stream = asm._stream_align_mesh
+    calls = {"n": 0}
+
+    class Boom(RuntimeError):
+        pass
+
+    def dying_stream(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom()             # first attempt dies mid-round
+        return real_stream(*a, **kw)
+
+    asm._stream_align_mesh = dying_stream
+    try:
+        with pytest.raises(Boom):
+            assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                         tax, cfg, mesh=mesh)
+        replay = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                              ds.ref_lens, tax, cfg, mesh=mesh)
+    finally:
+        asm._stream_align_mesh = real_stream
+    single = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                          tax, cfg)
+    assert _keys(replay.genes) == _keys(single.genes)
