@@ -65,36 +65,70 @@ def _load_taxonomy(path: Optional[str], ref_names: List[str]):
     )
 
 
-def cmd_simulate(args) -> int:
-    from rambl_tpu.data.simulate import simulate_dataset
-
-    ds = simulate_dataset(
-        n_species=args.species, refs_per_species=args.strains,
-        n_reads=args.reads, seed=args.seed,
-    )
-    os.makedirs(args.out, exist_ok=True)
-    write_fasta(os.path.join(args.out, "refs.fasta"), ds.ref_fasta())
-    write_fastq(
-        os.path.join(args.out, "reads.fastq"),
-        [(n, decode_seq(ds.reads[i, : ds.read_lens[i]]), ds.read_quals[i])
-         for i, n in enumerate(ds.read_names)],
-    )
-    with open(os.path.join(args.out, "taxonomy.tsv"), "w") as f:
-        for i, n in enumerate(ds.ref_names):
-            # full ancestor path names
+def _write_taxonomy(path: str, ds, ref_ids) -> None:
+    with open(path, "w") as f:
+        for i in ref_ids:
             node = int(ds.ref_taxon[i])
             chain = []
             while node != 0:
                 chain.append(ds.tax_name[node])
                 node = int(ds.tax_parent[node])
-            f.write(n + "\t" + ";".join(reversed(chain)) + "\n")
+            f.write(ds.ref_names[i] + "\t" + ";".join(reversed(chain)) + "\n")
+
+
+def cmd_simulate(args) -> int:
+    from rambl_tpu.data.simulate import simulate_cohort, simulate_dataset
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.samples > 1:
+        # cohort mode (BASELINE config 4): one community, per-sample strain
+        # abundances, one FASTQ per sample
+        co = simulate_cohort(
+            n_species=args.species, refs_per_species=args.strains,
+            n_samples=args.samples, reads_per_sample=args.reads,
+            seed=args.seed)
+        ds = co.ds
+        for j, (reads, lens) in enumerate(co.samples):
+            write_fastq(
+                os.path.join(args.out, f"reads.sample{j}.fastq"),
+                [(f"s{j}r{i}", decode_seq(reads[i, : lens[i]]),
+                  "I" * int(lens[i])) for i in range(reads.shape[0])])
+        truth = {"true_ref": [t.tolist() for t in co.true_ref],
+                 "abundance": co.abundance.tolist()}
+        n_reads = sum(r.shape[0] for r, _ in co.samples)
+    else:
+        ds = simulate_dataset(
+            n_species=args.species, refs_per_species=args.strains,
+            n_reads=args.reads, seed=args.seed,
+        )
+        write_fastq(
+            os.path.join(args.out, "reads.fastq"),
+            [(n, decode_seq(ds.reads[i, : ds.read_lens[i]]), ds.read_quals[i])
+             for i, n in enumerate(ds.read_names)],
+        )
+        truth = {"true_ref": ds.true_ref.tolist(),
+                 "true_pos": ds.true_pos.tolist(),
+                 "true_strand": ds.true_strand.tolist()}
+        n_reads = ds.n_reads
+    # --db-refs anchors: the reference DB holds only each species' first
+    # strain (the real Greengenes shape - sample strains are NOT in the DB
+    # and co-bin to their species OTU; this is where DP-means/minorhap/
+    # cohort phasing must separate them). The full strain truth always goes
+    # to strains.fasta for quality evaluation.
+    all_refs = ds.ref_fasta()
+    if args.db_refs == "anchors":
+        keep = [i for i in range(ds.n_refs)
+                if ds.ref_names[i].endswith("_strain0")]
+    else:
+        keep = list(range(ds.n_refs))
+    write_fasta(os.path.join(args.out, "refs.fasta"),
+                [all_refs[i] for i in keep])
+    write_fasta(os.path.join(args.out, "strains.fasta"), all_refs)
+    _write_taxonomy(os.path.join(args.out, "taxonomy.tsv"), ds, keep)
     with open(os.path.join(args.out, "truth.json"), "w") as f:
-        json.dump({
-            "true_ref": ds.true_ref.tolist(),
-            "true_pos": ds.true_pos.tolist(),
-            "true_strand": ds.true_strand.tolist(),
-        }, f)
-    print(f"wrote {ds.n_refs} refs / {ds.n_reads} reads to {args.out}")
+        json.dump(truth, f)
+    print(f"wrote {len(keep)} refs / {n_reads} reads "
+          f"({max(args.samples, 1)} sample(s)) to {args.out}")
     return 0
 
 
@@ -143,12 +177,15 @@ def cmd_assemble(args) -> int:
         import jax
 
         jax.profiler.start_trace(args.profile)
-    if args.oracle:
+    if args.oracle and len(samples) > 1:
+        from rambl_tpu.oracle.cohort import assemble_cohort as oracle_cohort
+
+        results = oracle_cohort(samples, ref_seqs, ref_lens, tables, cfg)
+    elif args.oracle:
         from rambl_tpu.oracle.pipeline import assemble
 
-        results = [assemble(r, l, ref_seqs, ref_lens, tables, cfg,
-                            initial_panel=initial_panel)
-                   for r, l in samples]
+        results = [assemble(samples[0][0], samples[0][1], ref_seqs, ref_lens,
+                            tables, cfg, initial_panel=initial_panel)]
     elif len(samples) > 1:
         from rambl_tpu.pipeline.assemble import assemble_cohort
 
@@ -213,8 +250,15 @@ def main(argv=None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--species", type=int, default=20)
     s.add_argument("--strains", type=int, default=5)
-    s.add_argument("--reads", type=int, default=10_000)
+    s.add_argument("--reads", type=int, default=10_000,
+                   help="reads (per sample in cohort mode)")
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--samples", type=int, default=1,
+                   help=">1 = cohort: per-sample abundances + FASTQs")
+    s.add_argument("--db-refs", choices=("all", "anchors"), default="all",
+                   help="'anchors' writes only each species' first strain to "
+                        "refs.fasta (real-DB shape: sample strains co-bin to "
+                        "their species OTU); full truth -> strains.fasta")
     s.set_defaults(fn=cmd_simulate)
 
     a = sub.add_parser("assemble", help="assemble full-length 16S genes")

@@ -129,6 +129,27 @@ class PipelineConfig:
     # recovery needs cross-sample abundance covariation (config-4 cohorts) -
     # see SURVEY.md known gaps.
 
+    # ---- cohort covariation phasing (config 4; oracle/cohort.py) ----
+    # Cross-sample abundance covariation separates strains that single-sample
+    # frequency phasing provably cannot (measured: at ~40x leaf depth strain
+    # allele frequencies smear into one continuum). Per leaf, every qualifying
+    # variant column carries a per-sample minor-allele frequency VECTOR;
+    # columns cluster by an exact pooled-two-proportion chi-square (DP-means
+    # style, Fraction arithmetic - deterministic and integer-exact), and each
+    # column group emits one strain gene. tau is the mean per-sample
+    # chi-square join threshold (prototyped: tau=3 recovers 98/100 strains at
+    # the measured single-sample 19/100 wall shape; 5 samples x 40x depth).
+    cohort_phase: bool = True        # enable in multi-sample cohort mode
+    cohort_tau_num: int = 3          # join threshold per chi-square df
+    cohort_tau_den: int = 1
+    cohort_min_depth: int = 8        # per-sample depth for a sample to count
+    cohort_min_abs: int = 4          # pooled minor count per qualifying column
+    cohort_frac_num: int = 1         # pooled minor fraction lower bound
+    cohort_frac_den: int = 50
+    cohort_min_cols: int = 2         # min own columns for a group to emit
+    cohort_max_cols: int = 512       # cap on phased columns per leaf
+    cohort_max_iters: int = 8        # DP-means reassignment iterations
+
     # ---- polish pass (final leaf-exclusive re-vote; oracle/polish.py) ----
     # a gene base is overridden only by depth >= polish_min_depth votes with a
     # unique winner holding >= maj_num/maj_den of them; mixed strain columns

@@ -82,6 +82,59 @@ def _mutate(seq: np.ndarray, region_rates: np.ndarray, rng: np.random.Generator,
     return out
 
 
+def _gen_reads(rng: np.random.Generator, ref_seqs: np.ndarray,
+               ref_lens: np.ndarray, ab: np.ndarray, n_reads: int,
+               read_len: int, read_len_max: int,
+               sub_error: float, indel_error: float):
+    """Shotgun reads from abundance-weighted references.
+
+    Exact rng-stream equivalent of the original inline block in
+    simulate_dataset (golden fixtures depend on the stream), reusable for
+    per-sample cohort read sets (BASELINE config 4).
+    Returns (reads, read_lens, true_ref, true_pos, true_strand)."""
+    n_refs = ref_seqs.shape[0]
+    # (vectorized; only the rare indel reads take a python loop)
+    true_ref = rng.choice(n_refs, size=n_reads, p=ab).astype(np.int32)
+    true_strand = rng.integers(0, 2, size=n_reads).astype(np.int8)
+    span = np.maximum(ref_lens[true_ref] - read_len, 1)
+    true_pos = (rng.random(n_reads) * span).astype(np.int32)
+    cols = true_pos[:, None] + np.arange(read_len, dtype=np.int32)[None, :]
+    frags = ref_seqs[true_ref[:, None], cols].copy()        # (n_reads, read_len)
+    # substitution errors
+    emask = rng.random(frags.shape) < sub_error
+    shift = rng.integers(1, 4, size=frags.shape).astype(np.int8)
+    frags = np.where(emask, (frags + shift) % 4, frags)
+    # indel errors: at most one short indel per read
+    has_indel = rng.random(n_reads) < indel_error * read_len
+    lens = np.full((n_reads,), read_len, np.int32)
+    for i in np.nonzero(has_indel)[0]:
+        frag = frags[i]
+        ip = int(rng.integers(1, read_len - 2))
+        if rng.random() < 0.5:  # deletion of 1 base
+            frag = np.concatenate([frag[:ip], frag[ip + 1 :]])
+            lens[i] = read_len - 1
+            frags[i, : read_len - 1] = frag
+            frags[i, read_len - 1] = 4
+        else:  # insertion of 1 base
+            frags[i] = np.concatenate(
+                [frag[:ip], rng.integers(0, 4, size=1).astype(np.int8),
+                 frag[: read_len]]
+            )[:read_len]
+    # reverse complement within each read's own length
+    comp = _COMP_TABLE[frags]
+    idx = lens[:, None] - 1 - np.arange(read_len, dtype=np.int32)[None, :]
+    rc = np.take_along_axis(comp, np.clip(idx, 0, read_len - 1), axis=1)
+    rc = np.where(idx >= 0, rc, np.int8(4))
+    frags = np.where(true_strand[:, None] == 1, rc, frags)
+
+    reads = np.full((n_reads, read_len_max), 4, dtype=np.int8)
+    reads[:, :read_len] = frags
+    # pad past each read's own length
+    pastlen = np.arange(read_len_max, dtype=np.int32)[None, :] >= lens[:, None]
+    reads = np.where(pastlen, np.int8(4), reads)
+    return reads, lens, true_ref, true_pos, true_strand
+
+
 def simulate_dataset(
     n_species: int = 20,
     refs_per_species: int = 1,
@@ -187,46 +240,10 @@ def simulate_dataset(
         ab = np.where(mask, ab, 0.0)
     ab = ab / ab.sum()
 
-    # --- reads (vectorized; only the rare indel reads take a python loop) ---
-    true_ref = rng.choice(n_refs, size=n_reads, p=ab).astype(np.int32)
-    true_strand = rng.integers(0, 2, size=n_reads).astype(np.int8)
-    span = np.maximum(ref_lens[true_ref] - read_len, 1)
-    true_pos = (rng.random(n_reads) * span).astype(np.int32)
-    cols = true_pos[:, None] + np.arange(read_len, dtype=np.int32)[None, :]
-    frags = ref_seqs[true_ref[:, None], cols].copy()        # (n_reads, read_len)
-    # substitution errors
-    emask = rng.random(frags.shape) < sub_error
-    shift = rng.integers(1, 4, size=frags.shape).astype(np.int8)
-    frags = np.where(emask, (frags + shift) % 4, frags)
-    # indel errors: at most one short indel per read
-    has_indel = rng.random(n_reads) < indel_error * read_len
-    lens = np.full((n_reads,), read_len, np.int32)
-    for i in np.nonzero(has_indel)[0]:
-        frag = frags[i]
-        ip = int(rng.integers(1, read_len - 2))
-        if rng.random() < 0.5:  # deletion of 1 base
-            frag = np.concatenate([frag[:ip], frag[ip + 1 :]])
-            lens[i] = read_len - 1
-            frags[i, : read_len - 1] = frag
-            frags[i, read_len - 1] = 4
-        else:  # insertion of 1 base
-            frags[i] = np.concatenate(
-                [frag[:ip], rng.integers(0, 4, size=1).astype(np.int8),
-                 frag[: read_len]]
-            )[:read_len]
-    # reverse complement within each read's own length
-    comp = _COMP_TABLE[frags]
-    idx = lens[:, None] - 1 - np.arange(read_len, dtype=np.int32)[None, :]
-    rc = np.take_along_axis(comp, np.clip(idx, 0, read_len - 1), axis=1)
-    rc = np.where(idx >= 0, rc, np.int8(4))
-    frags = np.where(true_strand[:, None] == 1, rc, frags)
-
-    reads = np.full((n_reads, read_len_max), 4, dtype=np.int8)
-    reads[:, :read_len] = frags
-    # pad past each read's own length
-    pastlen = np.arange(read_len_max, dtype=np.int32)[None, :] >= lens[:, None]
-    reads = np.where(pastlen, np.int8(4), reads)
-    read_lens = lens
+    # --- reads ---
+    reads, read_lens, true_ref, true_pos, true_strand = _gen_reads(
+        rng, ref_seqs, ref_lens, ab, n_reads, read_len, read_len_max,
+        sub_error, indel_error)
     read_names = [f"read{i}" for i in range(n_reads)]
     read_quals = ["I" * int(read_lens[i]) for i in range(n_reads)]
 
@@ -254,3 +271,54 @@ def toy_dataset(seed: int = 0, n_reads: int = 10_000) -> SimulatedDataset:
     return simulate_dataset(
         n_species=20, refs_per_species=5, n_reads=n_reads, seed=seed
     )
+
+
+@dataclasses.dataclass
+class CohortDataset:
+    """Multi-sample cohort (BASELINE config 4): one shared reference
+    community, per-sample strain abundances, per-sample read sets."""
+    ds: SimulatedDataset                 # shared refs/taxonomy (its own reads
+                                         # are a vestigial 1-read set; ignore)
+    samples: List[Tuple[np.ndarray, np.ndarray]]   # (reads, read_lens) per sample
+    true_ref: List[np.ndarray]           # per-sample source ref of each read
+    abundance: np.ndarray                # (n_samples, n_refs) sampling weights
+
+
+def simulate_cohort(
+    n_species: int = 5,
+    refs_per_species: int = 3,
+    n_samples: int = 4,
+    reads_per_sample: int = 4000,
+    read_len: int = 100,
+    read_len_max: int = 128,
+    ref_len_max: int = 2048,
+    sub_error: float = 0.004,
+    indel_error: float = 0.0005,
+    seed: int = 0,
+    abundance_sigma: float = 1.0,
+) -> CohortDataset:
+    """Cohort mock community: the SAME strain panel sequenced in n_samples
+    metagenomes whose per-strain abundances vary lognormally per sample.
+
+    This is the shape where single-sample frequency phasing is provably blind
+    (strain allele frequencies overlap within any one sample) but cross-sample
+    abundance COVARIATION separates strains (oracle/cohort.py)."""
+    ds = simulate_dataset(
+        n_species=n_species, refs_per_species=refs_per_species, n_reads=1,
+        read_len=read_len, read_len_max=read_len_max, ref_len_max=ref_len_max,
+        sub_error=sub_error, indel_error=indel_error, seed=seed,
+        skewed_abundance=False,
+    )
+    rng = np.random.default_rng(seed + 1_000_003)
+    ab = rng.lognormal(0.0, abundance_sigma, size=(n_samples, ds.n_refs))
+    ab /= ab.sum(axis=1, keepdims=True)
+    samples, true_refs = [], []
+    for j in range(n_samples):
+        rj = np.random.default_rng(seed * 1009 + 31 * j + 7)
+        reads, lens, tr, _, _ = _gen_reads(
+            rj, ds.ref_seqs, ds.ref_lens, ab[j], reads_per_sample,
+            read_len, read_len_max, sub_error, indel_error)
+        samples.append((reads, lens))
+        true_refs.append(tr)
+    return CohortDataset(ds=ds, samples=samples, true_ref=true_refs,
+                         abundance=ab)

@@ -634,22 +634,19 @@ def _panel_bits(cfg):
     return max(8, int(np.ceil(np.log2(2 * cfg.max_genes * cfg.ref_len_max + 1))))
 
 
-def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
-               cfg: PipelineConfig, node_counts=None, slot_counts=None,
-               shared_index=None, mesh=None):
-    """Device polish pass (see oracle.polish): leaf-exclusive re-vote of the
-    final panel from round-0 node pileups. The node-space accumulator built
-    during the discovery round IS the per-leaf exclusive pileup (reads scatter
-    at their exact bin node; ancestor chaining only happens later), so when
-    the caller retained it (dense `node_counts` or slot-compacted
-    `slot_counts`) no extra device work is needed; otherwise one align stream
-    vs the original index recomputes it bit-identically.
-    Returns (genes, n_changed)."""
-    from rambl_tpu.oracle.polish import anchor_seqs_of, apply_polish
-
-    if not genes:
-        return genes, 0
+def leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables,
+                     cfg: PipelineConfig, taxa, node_counts=None,
+                     slot_counts=None, shared_index=None, mesh=None):
+    """{taxon: (ref_len, 4) np.int32} leaf-EXCLUSIVE round-0 pileups for the
+    given taxa (oracle.polish.leaf_exclusive_counts semantics). The node-space
+    accumulator built during the discovery round IS the per-leaf exclusive
+    pileup (reads scatter at their exact bin node; ancestor chaining only
+    happens later), so when the caller retained it (dense `node_counts` or
+    slot-compacted `slot_counts`) no extra device work is needed; otherwise
+    one align stream vs the original index recomputes it bit-identically.
+    Shared by the polish pass and cohort covariation phasing."""
     ref_len = ref_seqs.shape[1]
+    taxa = np.unique(np.asarray(taxa)).astype(np.int64)
     if node_counts is None and slot_counts is None:
         index = shared_index if shared_index is not None else build_seed_index(
             ref_seqs, ref_lens, k=cfg.k)
@@ -658,9 +655,8 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
         if counts is not None:
             node_counts = np.asarray(counts)
         else:
-            # slot-mode recompute: only the gene taxa need counts
+            # slot-mode recompute: only the requested taxa need counts
             rc_host = np.asarray(read_count)
-            taxa = np.unique([g.taxon for g in genes]).astype(np.int64)
             ids = taxa[rc_host[taxa] > 0].astype(np.int32)
             node2slot = np.full(tables.n_nodes, -1, np.int32)
             node2slot[ids] = np.arange(ids.size, dtype=np.int32)
@@ -682,18 +678,35 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
             slot_counts = (counts_s, node2slot)
     if node_counts is not None:
         node_counts = np.asarray(node_counts)
-        counts_dict = {
-            int(l): node_counts[int(l)] for l in np.unique(tables.ref_taxon)
-        }
-    else:
-        counts_s, node2slot = slot_counts
-        counts_s = np.asarray(counts_s)
-        zeros = np.zeros((ref_len, 4), np.int32)
-        counts_dict = {
-            int(l): (counts_s[node2slot[int(l)]]
-                     if node2slot[int(l)] >= 0 else zeros)
-            for l in np.unique([g.taxon for g in genes])
-        }
+        return {int(l): node_counts[int(l)] for l in taxa}
+    counts_s, node2slot = slot_counts
+    counts_s = np.asarray(counts_s)
+    zeros = np.zeros((ref_len, 4), np.int32)
+    return {
+        int(l): (counts_s[node2slot[int(l)]]
+                 if node2slot[int(l)] >= 0 else zeros)
+        for l in taxa
+    }
+
+
+def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
+               cfg: PipelineConfig, node_counts=None, slot_counts=None,
+               shared_index=None, mesh=None):
+    """Device polish pass (see oracle.polish): leaf-exclusive re-vote of the
+    final panel from round-0 node pileups (evidence via leaf_counts_dict).
+    Returns (genes, n_changed)."""
+    from rambl_tpu.oracle.polish import anchor_seqs_of, apply_polish
+
+    if not genes:
+        return genes, 0
+    # retained dense accumulators cover every leaf; slot/recompute paths only
+    # need the gene taxa (apply_polish looks up nothing else)
+    taxa = (np.unique(tables.ref_taxon) if node_counts is not None
+            else np.unique([g.taxon for g in genes]))
+    counts_dict = leaf_counts_dict(
+        reads, lens, ref_seqs, ref_lens, tables, cfg, taxa=taxa,
+        node_counts=node_counts, slot_counts=slot_counts,
+        shared_index=shared_index, mesh=mesh)
     anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
     return apply_polish(genes, counts_dict, anchor, cfg)
 
@@ -704,20 +717,58 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
     (BASELINE.json config 4: 'multi-sample cohort with shared sharded index').
 
     samples: list of (reads, lens). The round-0 Greengenes index is built once
-    and reused; each sample then runs its own refinement loop (panel indexes
-    are per-sample). Returns one AssemblyResult per sample.
+    and reused; each sample runs its own refinement loop (panel indexes are
+    per-sample); finally CROSS-SAMPLE ABUNDANCE-COVARIATION PHASING
+    (oracle/cohort.py) separates co-binned strains that no single sample can:
+    per-leaf variant columns cluster by their per-sample minor-allele
+    frequency vectors (exact chi-square DP-means) and each column group emits
+    a strain gene. The phasing consumes the same leaf-exclusive round-0
+    pileups the polish pass uses, retained from each sample's discovery round
+    (or recomputed bit-identically), so the device path shares the oracle's
+    host logic verbatim. Returns one AssemblyResult per sample.
     """
+    from rambl_tpu.oracle.cohort import cohort_phase
+    from rambl_tpu.oracle.polish import anchor_seqs_of
+
     shared_index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
-    return [
-        assemble_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
-                     shared_index=shared_index, mesh=mesh)
-        for reads, lens in samples
+    do_phase = cfg.cohort_phase and len(samples) >= 2
+    results, retained = [], []
+    for reads, lens in samples:
+        aux = {} if do_phase else None
+        results.append(assemble_jax(
+            reads, lens, ref_seqs, ref_lens, tables, cfg,
+            shared_index=shared_index, mesh=mesh, aux_out=aux))
+        if do_phase:
+            # host-fetch the retained accumulators now so device buffers
+            # do not pile up across samples
+            retained.append(dict(
+                node_counts=(None if aux.get("node_counts") is None
+                             else np.asarray(aux["node_counts"])),
+                slot_counts=(None if aux.get("slot_counts") is None
+                             else (np.asarray(aux["slot_counts"][0]),
+                                   aux["slot_counts"][1])),
+            ))
+    if not do_phase:
+        return results
+    taxa = np.unique(np.asarray(
+        [g.taxon for r in results for g in r.genes], dtype=np.int64))
+    if taxa.size == 0:
+        return results
+    counts_list = [
+        leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables, cfg,
+                         taxa=taxa, shared_index=shared_index, mesh=mesh,
+                         **retained[j])
+        for j, (reads, lens) in enumerate(samples)
     ]
+    anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
+    geneses = cohort_phase([r.genes for r in results], counts_list, anchor, cfg)
+    return [dataclasses.replace(r, genes=g)
+            for r, g in zip(results, geneses)]
 
 
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
                  cfg: PipelineConfig, shared_index=None, initial_panel=None,
-                 mesh=None, checkpoint_path=None):
+                 mesh=None, checkpoint_path=None, aux_out=None):
     """Device version of oracle.pipeline.assemble (same convergence loop:
     every round is a full discovery round; the panel maps genes back to
     their provenance taxa - see oracle.pipeline.panel_tables).
@@ -729,7 +780,11 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     checkpoint_path, if given, atomically saves the loop panel after EVERY
     round (fault tolerance, SURVEY.md section 5: a crash/kill anywhere
     leaves the last round boundary on disk; deterministic rounds make the
-    resumed continuation bitwise - tests/test_faults.py)."""
+    resumed continuation bitwise - tests/test_faults.py).
+    aux_out, if a dict, receives the retained round-0 pileup accumulators
+    ("node_counts" dense or "slot_counts") for callers that need the
+    leaf-exclusive evidence again (cohort covariation phasing); empty on
+    resumed runs (the discovery round was skipped)."""
     from rambl_tpu.oracle.pipeline import (
         AssemblyResult,
         pad_panel,
@@ -743,7 +798,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
             save_checkpoint(checkpoint_path, cfg, genes, round_idx, stats)
 
     round_stats = []
-    aux = {} if cfg.polish else None
+    aux = {} if (cfg.polish or aux_out is not None) else None
     if initial_panel is None:
         genes, stats = assemble_round_jax(
             reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
@@ -781,6 +836,8 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
         seen.add(new_key)
     n_rounds = len(round_stats)
     panel = list(genes)
+    if aux_out is not None and aux:
+        aux_out.update(aux)
     if cfg.polish and genes:
         genes, n_changed = polish_jax(
             reads, lens, genes, ref_seqs, ref_lens, tables, cfg,
