@@ -52,6 +52,13 @@ class PipelineConfig:
     scoring: ScoringParams = dataclasses.field(default_factory=ScoringParams)
     sw_impl: str = "auto"            # "auto" | "pallas" | "scan": score-pass
                                      # kernel (auto = pallas on TPU backends)
+    # Pallas score kernel computes only this many query rows (0 = all
+    # read_len_max). EXACT whenever every read's length fits (pad rows can
+    # never win the DP - ops/sw_pallas.py docstring proof); 100bp reads in
+    # the default 128-pad layout waste 23% of the wavefront otherwise.
+    # Must be a multiple of 8 and >= the longest real read; the streaming
+    # driver asserts this against the actual read lengths.
+    sw_rows: int = 0
     min_score: int = 40              # below this a read is unaligned (bin -1)
     max_gap_per_row: int = 8         # traceback: max consecutive ref-gap moves
 

@@ -331,6 +331,28 @@ def cohort_phase(geneses: List[List], counts_list: List[Dict[int, np.ndarray]],
     if S < 2 or not cfg.cohort_phase:
         return out
     taxa = sorted({int(g.taxon) for genes in geneses for g in genes})
+    # COHORT-POOLED POLISH first: per-sample exclusive depth at a leaf is
+    # often below polish_min_depth (the per-sample polish pass is blind
+    # there), but the same strains underlie every sample, so the POOLED
+    # exclusive pileup is decisive evidence for shared-backbone columns.
+    # Same rules as oracle/polish.apply_polish (poly-guarded: variant
+    # columns belong to phasing, not polish). Measured: backbone errors at
+    # thin leaves (e.g. 7 wrong bases at pooled depth 6-19, per-sample 1-4)
+    # are exactly this class.
+    pooled: Dict[int, np.ndarray] = {}
+    for t in taxa:
+        acc = None
+        for j in range(S):
+            c = counts_list[j].get(t)
+            if c is not None:
+                acc = c.astype(np.int64) if acc is None else acc + c
+        if acc is not None:
+            pooled[t] = acc
+    from rambl_tpu.oracle.polish import apply_polish
+
+    out = [apply_polish(genes, pooled, anchor_seqs, cfg)[0] for genes in out]
+    geneses = out
+    out = [list(genes) for genes in geneses]
     for taxon in taxa:
         backbone = _pick_backbone(geneses, taxon)
         aseq = anchor_seqs.get(taxon)

@@ -101,7 +101,8 @@ def align_from_candidates(
         from rambl_tpu.ops.sw_pallas import sw_score_pallas
 
         score, p_ie, p_je = sw_score_pallas(
-            q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc
+            q_pairs.reshape(B * 2 * C, L), wins.reshape(B * 2 * C, W), sc,
+            rows=cfg.sw_rows,
         )
     else:
         score, p_ie, p_je = sw_score(
@@ -155,20 +156,33 @@ def align_from_candidates(
 
     needs_tb = (best_score > 0) & ~gapless
     cap = max(128, B // 8)
+
+    # the dirs-emitting DP: Pallas wavefront kernel when available (shares
+    # _score_kernel's layout; the lax.scan second pass dominated the
+    # traceback path), bit-identical scan fallback elsewhere
+    def _dirs_trace(q_s, w_s):
+        if use_pallas and q_s.shape[0] % 128 == 0:
+            from rambl_tpu.ops.sw_pallas import (
+                sw_align_pallas,
+                sw_traceback_packed,
+            )
+
+            _, ie_s, je_s, packed = sw_align_pallas(q_s, w_s, sc,
+                                                    rows=cfg.sw_rows)
+            return sw_traceback_packed(packed, ie_s, je_s, L, W)
+        _, ie_s, je_s, dirs_s = sw_align(q_s, w_s, sc)
+        return sw_traceback(dirs_s, ie_s, je_s, L, W)
+
     order = jnp.argsort(jnp.where(needs_tb, 0, 1) * B + bidx)
     sel = order[:cap]
 
     def compact_tb(_):
-        q_s = qb[sel]
-        w_s = wb[sel]
-        _, ie_s, je_s, dirs_s = sw_align(q_s, w_s, sc)
-        rc_s = sw_traceback(dirs_s, ie_s, je_s, L, W)
+        rc_s = _dirs_trace(qb[sel], wb[sel])
         upd = jnp.where(needs_tb[sel, None], rc_s, rc_analytic[sel])
         return rc_analytic.at[sel].set(upd)
 
     def full_tb(_):
-        _, ie_f, je_f, dirs_f = sw_align(qb, wb, sc)
-        rc_f = sw_traceback(dirs_f, ie_f, je_f, L, W)
+        rc_f = _dirs_trace(qb, wb)
         return jnp.where(needs_tb[:, None], rc_f, rc_analytic)
 
     if cap >= B:

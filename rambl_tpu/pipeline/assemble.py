@@ -217,6 +217,11 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     the end of the stream - bit-identical to the single-device path
     (integer scatter-adds commute; tests/test_distributed.py).
     """
+    if cfg.sw_rows and int(np.max(lens, initial=0)) > cfg.sw_rows:
+        raise ValueError(
+            f"cfg.sw_rows={cfg.sw_rows} < longest read "
+            f"{int(np.max(lens))}: the truncated SW wavefront is only exact "
+            "when every real read fits (ops/sw_pallas.py)")
     if mesh is not None:
         return _stream_align_mesh(
             reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh)
