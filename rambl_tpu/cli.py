@@ -167,12 +167,34 @@ def cmd_assemble(args) -> int:
 
     mesh = None
     if args.mesh:
-        from rambl_tpu.parallel.mesh import data_mesh, init_distributed
+        import hashlib
+
+        from rambl_tpu.parallel.mesh import (
+            assert_hosts_agree,
+            data_mesh,
+            init_distributed,
+            sync_host_config,
+        )
 
         init_distributed()
         mesh = data_mesh(args.mesh if args.mesh > 0 else None)
+        # multi-host init contract (SURVEY.md section 3.5): process 0's
+        # config wins everywhere, and every host must hold the identical
+        # reference DB (the seed index is derived from it deterministically)
+        cfg = sync_host_config(cfg)
+        assert_hosts_agree("reference FASTA", hashlib.sha256(
+            ref_seqs.tobytes() + ref_lens.tobytes()).digest())
         metrics.log("mesh", devices=int(mesh.devices.size))
 
+    if len(samples) > 1 and (args.resume_from or args.checkpoint):
+        # the cohort paths (oracle and device) run the multi-sample loop with
+        # cross-sample phasing and do not thread initial_panel/checkpoint
+        # through; silently ignoring --resume-from would break the documented
+        # bitwise-resume contract, so refuse loudly (ADVICE r2)
+        print("error: --checkpoint/--resume-from are not supported with "
+              "multi-sample (cohort) input; run per-sample or drop the flag",
+              file=sys.stderr)
+        return 2
     if args.profile:
         import jax
 

@@ -184,6 +184,17 @@ class PipelineConfig:
     batch_size: int = 1024           # reads per device batch (global)
     mesh_data_axis: str = "data"
     shard_index: bool = False        # False: replicate index; True: ring-sharded
+    # transport for the ring-sharded index rotation: "ppermute" = XLA
+    # collective; "dma" = raw Pallas make_async_remote_copy + DMA semaphores
+    # (parallel/ring_dma.py; TPU meshes only - bitwise identical)
+    ring_impl: str = "ppermute"
+    # merge the streamed pileup accumulators with psum_scatter over the
+    # COLUMN axis instead of a full psum (mesh mode only): the collective
+    # moves 1/N of the bytes and each device keeps 1/N of the columns - the
+    # position-sharded merge for >=100M-read configs (BASELINE config 5)
+    # where the (n_nodes, ref_len, 4) all-reduce dominates DCN traffic.
+    # Requires ref_len_max % n_devices == 0. Bitwise identical output.
+    shard_positions: bool = False
 
     # ---- misc ----
     seed: int = 0                    # RNG seed for any simulated data
@@ -223,17 +234,24 @@ def _preset(**kw) -> PipelineConfig:
 
 # The five driver configs (BASELINE.json:6-12). Sizes here parameterize the
 # *pipeline*; dataset sizes live with the dataset generators / CLI args.
+# All presets set sw_rows=104: the driver workloads are 100bp reads, and the
+# truncated wavefront is proven exact whenever every read fits (the host
+# boundary raises loudly otherwise - set sw_rows=0 for longer reads).
+_SW_ROWS_100BP = 104
 PRESETS = {
     # 1. Toy mock community: 10k x 100bp reads vs 100-seq Greengenes subset.
-    "toy": _preset(batch_size=1024, max_genes=16),
+    "toy": _preset(batch_size=1024, max_genes=16, sw_rows=_SW_ROWS_100BP),
     # 2. Small mock community: ~20 taxa, 1M reads, single host.
-    "small": _preset(batch_size=8192, max_genes=64),
+    "small": _preset(batch_size=8192, max_genes=64, sw_rows=_SW_ROWS_100BP),
     # 3. Human gut metagenome: ~10M reads vs full Greengenes, single host.
     "gut": _preset(batch_size=16384, max_genes=256, max_clusters_per_bin=16,
-                   bin_share_depth=3),
+                   bin_share_depth=3, sw_rows=_SW_ROWS_100BP),
     # 4. Multi-sample cohort: 5 metagenomes, shared sharded index.
-    "cohort": _preset(batch_size=16384, max_genes=256, shard_index=True),
-    # 5. Deep metagenome: >=100M reads, N>=2 hosts, sharded index + psum merge.
+    "cohort": _preset(batch_size=16384, max_genes=256, shard_index=True,
+                      sw_rows=_SW_ROWS_100BP),
+    # 5. Deep metagenome: >=100M reads, N>=2 hosts, sharded index + psum merge
+    #    (position-sharded: the pileup merge rides reduce-scatter, B:11).
     "deep": _preset(batch_size=32768, max_genes=512, shard_index=True,
-                    max_clusters_per_bin=16, bin_share_depth=3),
+                    max_clusters_per_bin=16, bin_share_depth=3,
+                    sw_rows=_SW_ROWS_100BP, shard_positions=True),
 }

@@ -18,9 +18,12 @@ shifting rrev down one sublane per step and inserting row w[d-2] at the top
 (pltpu.roll + dynamic row read) keeps the per-step window access to a single
 contiguous row instead of a diagonal gather.
 
-Borders come out of masking for free: invalid slots are forced to
-(H=0, E=NEG, F=NEG) each step, which is exactly the DP border condition the
-next anti-diagonal needs.
+Masking scheme (round 2+): only H is masked to 0 outside the valid band -
+that alone reproduces the oracle's zero borders for every later dependency.
+E/F go unmasked: outside the band they evolve from masked H (= 0) so they can
+never exceed H - gap_open and never raise any valid H (H = max(..., 0)
+ignores negatives); where they re-enter validity they coincide with the
+oracle values that matter (see _score_kernel).
 """
 
 from __future__ import annotations
@@ -39,6 +42,36 @@ _TIE = 32768
 _NONE = -(1 << 30)
 
 
+def _wavefront_loop(step, L: int, W: int):
+    """Anti-diagonal sweep d = 2..L+W with phase-split masking.
+
+    mask_mode passed to step: 0 = ramp-up (only si <= d-2 can be violated),
+    1 = full band (no mask), 2 = ramp-down (only si >= d-1-W), 3 = both.
+    The middle phase is statically unrolled (W+1-L steps). Measured round 3:
+    the split + the register tricks are each within measurement noise
+    (~±5% at 61-65 GCUPS pipelined) - the kernel is VPU-issue-bound, not
+    mask-bound - but they strictly reduce per-step ops, so the lean form is
+    kept. Falls back to fused masks if L > W+1 (never for read_len <= W)."""
+    if L <= W + 1:
+        jax.lax.fori_loop(2, L + 1, lambda d, c: step(d, 0), 0)
+        for d in range(L + 1, W + 2):     # static: full-band steps
+            step(d, 1)
+        jax.lax.fori_loop(W + 2, L + W + 1, lambda d, c: step(d, 2), 0)
+    else:
+        jax.lax.fori_loop(2, L + W + 1, lambda d, c: step(d, 3), 0)
+
+
+def _mask_h(hnew, si, d, W: int, mask_mode: int):
+    """Validity mask for the phase (only H needs masking - module docstring)."""
+    if mask_mode == 0:
+        return jnp.where(si <= d - 2, hnew, 0)
+    if mask_mode == 2:
+        return jnp.where(si >= d - 1 - W, hnew, 0)
+    if mask_mode == 3:
+        return jnp.where((si <= d - 2) & (si >= d - 1 - W), hnew, 0)
+    return hnew
+
+
 def _score_kernel(qT_ref, wT_ref, out_ref, H1, H2, E1, F1, rrev, best,
                   *, sc: ScoringParams, L: int, W: int):
     NEG = sc.neg_inf
@@ -46,6 +79,9 @@ def _score_kernel(qT_ref, wT_ref, out_ref, H1, H2, E1, F1, rrev, best,
     ge = sc.gap_extend
 
     H1[:] = jnp.zeros((L, TILE), jnp.int32)
+    # H2 stores the diag predecessor ALREADY shifted+bordered: at step d it
+    # holds roll(H(d-2)) with row 0 forced to the DP border - exactly the
+    # `hup` of step d-1, saving one roll + one select per step
     H2[:] = jnp.zeros((L, TILE), jnp.int32)
     E1[:] = jnp.full((L, TILE), NEG, jnp.int32)
     F1[:] = jnp.full((L, TILE), NEG, jnp.int32)
@@ -57,12 +93,14 @@ def _score_kernel(qT_ref, wT_ref, out_ref, H1, H2, E1, F1, rrev, best,
 
     q = qT_ref[:]                                     # (L, TILE)
     si = jax.lax.broadcasted_iota(jnp.int32, (L, TILE), 0)
-    # loop-invariant pieces of the best-cell key (see below):
-    # pos(i, j) = i * (W + 1) + j with i = si + 1, j = d - si - 1
-    #           = si * W + W + d  ->  precompute si * W + W
+    row0 = si == 0
+    # best-cell key: H * 32768 - pos, pos(i, j) = i*(W+1)+j = si*W + W + d.
+    # Per STEP only the d part varies per row, so the running key is
+    # H * _TIE - d; the row-constant si*W + W is subtracted once at the end
+    # (max and subtraction of a row constant commute).
     siw = si * W + W
 
-    def step(d, _):
+    def step(d, mask_mode):
         # window register: shift down, insert w[d-2] at the top
         r = pltpu.roll(rrev[:], 1, axis=0)
         rrev[:] = r
@@ -72,50 +110,40 @@ def _score_kernel(qT_ref, wT_ref, out_ref, H1, H2, E1, F1, rrev, best,
         sub = jnp.where(q == r, jnp.int32(sc.match), jnp.int32(sc.mismatch))
 
         h1 = H1[:]
-        h2 = H2[:]
         f1 = F1[:]
         e1 = E1[:]
 
         # shift-down predecessors with border rows (the roll wraps the last
         # row into row 0, so row 0 must be forced to the DP border)
-        hdiag = pltpu.roll(h2, 1, axis=0)
-        hup = pltpu.roll(h1, 1, axis=0)
-        fup = pltpu.roll(f1, 1, axis=0)
-        row0 = si == 0
-        hdiag = jnp.where(row0, 0, hdiag)
-        hup = jnp.where(row0, 0, hup)
-        fup = jnp.where(row0, NEG, fup)
+        hup = jnp.where(row0, 0, pltpu.roll(h1, 1, axis=0))
+        fup = jnp.where(row0, NEG, pltpu.roll(f1, 1, axis=0))
 
         enew = jnp.maximum(h1 - go_ge, e1 - ge)
         fnew = jnp.maximum(hup - go_ge, fup - ge)
-        diag = hdiag + sub
+        diag = H2[:] + sub
         hnew = jnp.maximum(
             jnp.maximum(diag, 0), jnp.maximum(enew, fnew)
         )
 
         # only H needs the validity mask: invalid cells forced to 0 exactly
-        # reproduce the oracle's zero borders for every later dependency.
-        # E/F go unmasked - outside the valid band they evolve from masked
-        # H (= 0) so they can never exceed H-go_ge and never affect any
-        # valid H (H = max(..., 0) ignores negatives); where they re-enter
-        # validity they coincide with the oracle values that matter.
-        valid = (si <= d - 2) & (si >= d - 1 - W)
-        hnew = jnp.where(valid, hnew, 0)
+        # reproduce the oracle's zero borders for every later dependency
+        # (module docstring); the phase split makes it free mid-sweep
+        hnew = _mask_h(hnew, si, d, W, mask_mode)
 
-        # best-cell key: H * 32768 - pos. No mask: hnew == 0 keys are
-        # negative and lose to any positive-score key; when NO positive
-        # score exists the wrapper clamps score<=0 to (0, 0, 0).
-        best[:] = jnp.maximum(best[:], hnew * _TIE - (siw + d))
+        # running per-row key. No mask: hnew == 0 keys are negative and lose
+        # to any positive-score key; when NO positive score exists the
+        # wrapper clamps score<=0 to (0, 0, 0).
+        best[:] = jnp.maximum(best[:], hnew * _TIE - d)
 
-        H2[:] = h1
+        H2[:] = hup
         H1[:] = hnew
         E1[:] = enew
         F1[:] = fnew
         return 0
 
-    jax.lax.fori_loop(2, L + W + 1, step, 0)
+    _wavefront_loop(step, L, W)
     # (8, TILE) out tile (Mosaic needs sublane >= 8); row 0 carries the result
-    m = jnp.max(best[:], axis=0, keepdims=True)
+    m = jnp.max(best[:] - siw, axis=0, keepdims=True)
     out_ref[:] = jnp.broadcast_to(m, (1, 8, TILE))
 
 
@@ -136,7 +164,7 @@ def _align_kernel(qT_ref, wT_ref, out_ref, dirs_ref, H1, H2, E1, F1, rrev,
     ge = sc.gap_extend
 
     H1[:] = jnp.zeros((L, TILE), jnp.int32)
-    H2[:] = jnp.zeros((L, TILE), jnp.int32)
+    H2[:] = jnp.zeros((L, TILE), jnp.int32)   # pre-shifted diag, see _score
     E1[:] = jnp.full((L, TILE), NEG, jnp.int32)
     F1[:] = jnp.full((L, TILE), NEG, jnp.int32)
     rrev[:] = jnp.full((L, TILE), 9, jnp.int32)
@@ -145,9 +173,10 @@ def _align_kernel(qT_ref, wT_ref, out_ref, dirs_ref, H1, H2, E1, F1, rrev,
 
     q = qT_ref[:]
     si = jax.lax.broadcasted_iota(jnp.int32, (L, TILE), 0)
+    row0 = si == 0
     siw = si * W + W
 
-    def step(d, _):
+    def step(d, mask_mode):
         r = pltpu.roll(rrev[:], 1, axis=0)
         rrev[:] = r
         rrev[pl.ds(0, 1), :] = wT_ref[pl.ds(d - 2, 1), :]
@@ -156,17 +185,11 @@ def _align_kernel(qT_ref, wT_ref, out_ref, dirs_ref, H1, H2, E1, F1, rrev,
         sub = jnp.where(q == r, jnp.int32(sc.match), jnp.int32(sc.mismatch))
 
         h1 = H1[:]
-        h2 = H2[:]
         f1 = F1[:]
         e1 = E1[:]
 
-        hdiag = pltpu.roll(h2, 1, axis=0)
-        hup = pltpu.roll(h1, 1, axis=0)
-        fup = pltpu.roll(f1, 1, axis=0)
-        row0 = si == 0
-        hdiag = jnp.where(row0, 0, hdiag)
-        hup = jnp.where(row0, 0, hup)
-        fup = jnp.where(row0, NEG, fup)
+        hup = jnp.where(row0, 0, pltpu.roll(h1, 1, axis=0))
+        fup = jnp.where(row0, NEG, pltpu.roll(f1, 1, axis=0))
 
         e_open = h1 - go_ge
         e_ext = e1 - ge
@@ -174,7 +197,7 @@ def _align_kernel(qT_ref, wT_ref, out_ref, dirs_ref, H1, H2, E1, F1, rrev,
         f_open = hup - go_ge
         f_ext = fup - ge
         fnew = jnp.maximum(f_open, f_ext)
-        diag = hdiag + sub
+        diag = H2[:] + sub
         hnew = jnp.maximum(
             jnp.maximum(diag, 0), jnp.maximum(enew, fnew)
         )
@@ -188,31 +211,35 @@ def _align_kernel(qT_ref, wT_ref, out_ref, dirs_ref, H1, H2, E1, F1, rrev,
                | jnp.where(e_open >= e_ext, 4, 0)
                | jnp.where(f_open >= f_ext, 8, 0))
 
-        valid = (si <= d - 2) & (si >= d - 1 - W)
-        hnew = jnp.where(valid, hnew, 0)
-        nib = jnp.where(valid, nib, 0)
+        hnew = _mask_h(hnew, si, d, W, mask_mode)
+        nib = _mask_h(nib, si, d, W, mask_mode)
 
         pack[:] = pack[:] | (nib << (((d - 2) % 8) * 4))
 
-        @pl.when((d - 2) % 8 == 7)
         def _flush():
             dirs_ref[:, pl.ds((d - 2) // 8, 1), :, :] = pack[:].reshape(
                 1, 1, L, TILE)
             pack[:] = jnp.zeros((L, TILE), jnp.int32)
 
-        best[:] = jnp.maximum(best[:], hnew * _TIE - (siw + d))
+        if isinstance(d, int):            # unrolled middle phase: static d
+            if (d - 2) % 8 == 7:
+                _flush()
+        else:
+            pl.when((d - 2) % 8 == 7)(_flush)
 
-        H2[:] = h1
+        best[:] = jnp.maximum(best[:], hnew * _TIE - d)
+
+        H2[:] = hup
         H1[:] = hnew
         E1[:] = enew
         F1[:] = fnew
         return 0
 
-    jax.lax.fori_loop(2, L + W + 1, step, 0)
+    _wavefront_loop(step, L, W)
     if (L + W - 2) % 8 != 7:  # static: flush the final partial word
         dirs_ref[:, pl.ds((L + W - 2) // 8, 1), :, :] = pack[:].reshape(
             1, 1, L, TILE)
-    m = jnp.max(best[:], axis=0, keepdims=True)
+    m = jnp.max(best[:] - siw, axis=0, keepdims=True)
     out_ref[:] = jnp.broadcast_to(m, (1, 8, TILE))
 
 
@@ -229,6 +256,11 @@ def sw_align_pallas(q: jax.Array, w: jax.Array, sc: ScoringParams,
         assert rows % 8 == 0
         q = q[:, :rows]
         L = rows
+    # the packed best-cell key is H * _TIE - pos with pos = i*(W+1)+j; the
+    # decode mis-reads silently if pos can reach _TIE (ADVICE r2)
+    assert L * (W + 1) + W < _TIE, (
+        f"best-key overflow: L={L}, W={W} gives max pos {L * (W + 1) + W} "
+        f">= {_TIE}; shrink read_len_max/window_margin")
     nb = B // TILE
     Dp = -(-(L + W - 1) // 8)
 
@@ -282,12 +314,14 @@ def sw_align_pallas(q: jax.Array, w: jax.Array, sc: ScoringParams,
     return score, i_end, j_end, packed
 
 
-def sw_traceback_packed(packed, i_end, j_end, L: int, W: int, rows: int = 0):
+def sw_traceback_packed(packed, i_end, j_end, L: int, W: int):
     """sw_traceback over sw_align_pallas' packed-nibble layout.
 
     packed: (ceil((L+W-1)/8), Lk, B) int32, nibble (d-2)%8 of word
     (d-2)//8 holds cell (i=row+1, j=d-i)'s direction bits. Emits the same
-    ref_col (B, L) as ops.sw.sw_traceback on the scan dirs."""
+    ref_col (B, L) as ops.sw.sw_traceback on the scan dirs. Any sw_rows
+    truncation is carried implicitly by packed.shape[1] (= Lk); no separate
+    rows argument exists (ADVICE r2)."""
     from rambl_tpu.ops.sw import CH_DIAG, CH_E, CH_F, CH_ZERO
 
     B = i_end.shape[0]
@@ -373,6 +407,9 @@ def sw_score_pallas(q: jax.Array, w: jax.Array, sc: ScoringParams,
         assert rows % 8 == 0, "rows must be a sublane multiple"
         q = q[:, :rows]
         L = rows
+    assert L * (W + 1) + W < _TIE, (
+        f"best-key overflow: L={L}, W={W} gives max pos {L * (W + 1) + W} "
+        f">= {_TIE}; shrink read_len_max/window_margin")
     nb = B // TILE
 
     # lanes = batch: transpose to (L, B) / (L + W, B). Window codes >= 4

@@ -54,6 +54,40 @@ def broadcast_host_config(payload: bytes, is_source: Optional[bool] = None) -> b
     return bytes(np.asarray(out))
 
 
+def sync_host_config(cfg):
+    """Adopt process 0's PipelineConfig on every process (SURVEY.md
+    section 3.5: broadcast config metadata at init). Multi-host JAX is SPMD -
+    a host whose flags drifted (stale launch script, different preset) would
+    otherwise run a silently different pipeline until some collective shape
+    mismatches. Process 0's config wins; a drift is reported loudly.
+    Single-process: identity. Returns the (possibly replaced) config."""
+    if jax.process_count() == 1:
+        return cfg
+    import sys  # pragma: no cover - exercised via fakes in tests
+
+    from rambl_tpu.config import PipelineConfig
+
+    payload = cfg.to_json().encode()
+    got = broadcast_host_config(payload, jax.process_index() == 0)
+    if got != payload:
+        print(f"warning: process {jax.process_index()} config differs from "
+              "process 0; adopting process 0's config", file=sys.stderr)
+    return PipelineConfig.from_json(got.decode())
+
+
+def assert_hosts_agree(tag: str, payload: bytes) -> None:
+    """Raise if this process' payload differs from process 0's - used for
+    the reference/index fingerprint: every host must consume IDENTICAL input
+    data or the psum-merged pileups are garbage. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    got = broadcast_host_config(payload, jax.process_index() == 0)
+    if got != payload:
+        raise ValueError(
+            f"multi-host mismatch: {tag} on process {jax.process_index()} "
+            "differs from process 0 (all hosts must load identical inputs)")
+
+
 def data_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     """1D mesh over the data axis (all visible devices by default)."""
     if devices is None:

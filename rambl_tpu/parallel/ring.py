@@ -76,18 +76,21 @@ def _ring_probe(keys, valid, bucket_start, entries,
     Call INSIDE shard_map: each device holds one bucket-range shard (the
     per-device slice of the build_ring_shards arrays, leading dim stripped).
     """
+    from rambl_tpu.parallel.ring_dma import ring_rotate
+
     n = jax.lax.axis_size(DATA_AXIS)
     me = jax.lax.axis_index(DATA_AXIS)
     Pn = bucket_start.shape[0] - 1
     bucket = hash_kmer_jax(keys, n_bits)
-    perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(step, state):
         bs, ent, ckey = state
         shard_id = jax.lax.rem(me - step + n, n)
         ck = probe(keys, valid, bucket, bs, ent, cfg, bucket_lo=shard_id * Pn)
         ckey = jnp.where(ck != BIGK, ck, ckey)
-        bs, ent = jax.lax.ppermute((bs, ent), DATA_AXIS, perm)
+        # one ring hop (i -> i+1): XLA ppermute, or the raw-DMA Pallas
+        # transport (cfg.ring_impl="dma"; parallel.ring_dma)
+        bs, ent = ring_rotate((bs, ent), DATA_AXIS, impl=cfg.ring_impl)
         return (bs, ent, ckey)
 
     cap = cfg.bucket_cap
@@ -102,8 +105,9 @@ def ring_align_batch(reads, read_lens, bucket_start, entries,
 
     Bit-identical to pipeline.align.align_batch with the replicated table.
     """
-    from rambl_tpu.pipeline.align import align_from_candidates
+    from rambl_tpu.pipeline.align import align_from_candidates, check_sw_rows
 
+    check_sw_rows(read_lens, cfg)  # no-op under tracing (ADVICE r2)
     # shard arrays arrive stacked (n_shards, ...) and sharded over dim 0 ->
     # locally (1, ...); strip the leading dim
     if bucket_start.ndim == 2:

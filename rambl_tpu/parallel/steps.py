@@ -72,6 +72,50 @@ def make_align_bin_step(mesh, cfg: PipelineConfig, n_bits: int,
         check_vma=False))
 
 
+# Streamed per-read retention layout (scale-shaped, VERDICT r2 #4): the
+# driver retains query/ref_col/bins as (nb, batch, ...) arrays sharded
+# P(None, 'data', ...) - device d holds rows [d*bs/N, (d+1)*bs/N) of EVERY
+# batch, so each batch's sharded align output writes its own shard locally
+# (no resharding, no replication; per-device memory ~ B/N rows). Stream-order
+# read index g maps to (batch g // bs, row g % bs).
+RETAIN3 = P(None, DATA_AXIS, None)
+RETAIN2 = P(None, DATA_AXIS)
+
+
+@functools.lru_cache(maxsize=64)
+def make_retain_step(mesh):
+    """Donated in-place write of batch i's sharded align outputs into the
+    (nb, bs, ...) retention buffers (the mesh analogue of assemble._fill_rows;
+    ref_col narrows to the buffer dtype - int16 when ref_len fits, exact).
+
+    fill(qbuf, rbuf, bbuf, q, rc, bins, i) -> (qbuf, rbuf, bbuf)."""
+
+    def fill(qbuf, rbuf, bbuf, q, rc, bins, i):
+        qbuf = jax.lax.dynamic_update_slice(qbuf, q[None], (i, 0, 0))
+        rbuf = jax.lax.dynamic_update_slice(
+            rbuf, rc.astype(rbuf.dtype)[None], (i, 0, 0))
+        bbuf = jax.lax.dynamic_update_slice(bbuf, bins[None], (i, 0))
+        return qbuf, rbuf, bbuf
+
+    data = P(DATA_AXIS)
+    data2 = P(DATA_AXIS, None)
+    return jax.jit(
+        jax.shard_map(
+            fill, mesh=mesh,
+            in_specs=(RETAIN3, RETAIN3, RETAIN2, data2, data2, data, P()),
+            out_specs=(RETAIN3, RETAIN3, RETAIN2), check_vma=False),
+        donate_argnums=(0, 1, 2))
+
+
+def _flat_local(q_sh, rc_sh, bins_sh):
+    """Local (nb, bs/N, ...) retention shards -> flat per-read arrays for
+    scatter consumers (order-independent integer adds)."""
+    nb, bl, L = q_sh.shape
+    return (q_sh.reshape(nb * bl, L),
+            rc_sh.reshape(nb * bl, L).astype(jnp.int32),
+            bins_sh.reshape(nb * bl))
+
+
 @functools.lru_cache(maxsize=64)
 def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
                            shard_positions: bool = False):
@@ -80,9 +124,14 @@ def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
     commute, so pileup-at-the-end is bitwise equal to the single-device
     per-batch accumulation.
 
-    step(query, proj, bins) -> (counts, span_diff, read_count) merged.
-    With shard_positions the span axis is padded to ref_len + n_dev (see
-    make_align_pileup_step's width contract) and merged via psum_scatter.
+    step(qbuf, rbuf, bbuf) -> (counts, span_diff, read_count) merged; inputs
+    in the RETAIN3/RETAIN2 streamed layout (pad reads bin to -1 and scatter
+    into the inert overflow slot). With shard_positions the span axis is
+    padded to ref_len + n_dev (see make_align_pileup_step's width contract)
+    and merged via psum_scatter: the collective moves 1/N of the bytes
+    (reduce-scatter vs all-reduce; BASELINE config 5) and each device keeps
+    1/N of the columns - consumers that need the full rows trigger the
+    deferred all-gather on first use.
     """
     n_dev = mesh.devices.size
     span_w = ref_len + 1
@@ -90,7 +139,8 @@ def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
         assert ref_len % n_dev == 0, "ref_len must divide the mesh"
         span_w = ref_len + n_dev
 
-    def step(query, proj, bins):
+    def step(q_sh, rc_sh, bins_sh):
+        query, proj, bins = _flat_local(q_sh, rc_sh, bins_sh)
         counts, span_diff = node_pileup(query, proj, bins, n_nodes, ref_len)
         rc = jnp.zeros((n_nodes + 1,), jnp.int32).at[
             jnp.where(bins >= 0, bins, n_nodes)
@@ -108,8 +158,6 @@ def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
             span_diff = jax.lax.psum(span_diff, DATA_AXIS)
         return counts, span_diff, rc
 
-    data = P(DATA_AXIS)
-    data2 = P(DATA_AXIS, None)
     repl = P()
     out_specs = (
         P(None, DATA_AXIS, None) if shard_positions else repl,
@@ -117,7 +165,7 @@ def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
         repl,
     )
     return jax.jit(jax.shard_map(
-        step, mesh=mesh, in_specs=(data2, data2, data),
+        step, mesh=mesh, in_specs=(RETAIN3, RETAIN3, RETAIN2),
         out_specs=out_specs, check_vma=False))
 
 
@@ -125,33 +173,34 @@ def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
 def make_slot_pileup_step(mesh, n_slots: int, ref_len: int):
     """Slot-compacted pileup (full-Greengenes-scale taxonomies) + psum merge.
 
-    step(query, proj, bins, node2slot) -> (counts_s, span_s) merged."""
+    step(qbuf, rbuf, bbuf, node2slot) -> (counts_s, span_s) merged; read
+    inputs in the streamed RETAIN3/RETAIN2 layout."""
 
-    def step(query, proj, bins, node2slot):
+    def step(q_sh, rc_sh, bins_sh, node2slot):
+        query, proj, bins = _flat_local(q_sh, rc_sh, bins_sh)
         c, s = node_slot_pileup(query, proj, bins, node2slot, n_slots, ref_len)
         return jax.lax.psum(c, DATA_AXIS), jax.lax.psum(s, DATA_AXIS)
 
-    data = P(DATA_AXIS)
-    data2 = P(DATA_AXIS, None)
     repl = P()
     return jax.jit(jax.shard_map(
-        step, mesh=mesh, in_specs=(data2, data2, data, repl),
+        step, mesh=mesh, in_specs=(RETAIN3, RETAIN3, RETAIN2, repl),
         out_specs=(repl, repl), check_vma=False))
 
 
 @functools.lru_cache(maxsize=64)
 def make_read_count_step(mesh, n_nodes: int):
-    """Merged per-node read counts from sharded bins (slot mode needs the
-    global counts BEFORE the pileup scatter to pick active nodes)."""
+    """Merged per-node read counts from the sharded bins retention (slot mode
+    needs the global counts BEFORE the pileup scatter to pick active nodes)."""
 
-    def step(bins):
+    def step(bins_sh):
+        bins = bins_sh.reshape(-1)
         rc = jnp.zeros((n_nodes + 1,), jnp.int32).at[
             jnp.where(bins >= 0, bins, n_nodes)
         ].add(1)[:-1]
         return jax.lax.psum(rc, DATA_AXIS)
 
     return jax.jit(jax.shard_map(
-        step, mesh=mesh, in_specs=(P(DATA_AXIS),), out_specs=P(),
+        step, mesh=mesh, in_specs=(RETAIN2,), out_specs=P(),
         check_vma=False))
 
 
@@ -254,30 +303,84 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
 def make_cluster_step(mesh, cfg: PipelineConfig, slots: bool = False):
     """Leaf-sharded round-0 clustering: the EP analogue (SURVEY.md
     section 2.3 - per-taxon bins are the 'experts', sharded over the mesh for
-    the per-bin DP-means/consensus phase; read tensors are replicated).
+    the per-bin DP-means/consensus phase) over the SHARDED streamed read
+    retention (scale-shaped, VERDICT r2 #4 - the full per-read tensors never
+    replicate).
 
-    step(query, ref_col, bins, counts, span_diff, read_count, leaves,
-         anc_path, depth) with `leaves` (NL,) sharded over 'data' (NL must
-    divide by mesh size; pad with leaf 0 and ignore padded outputs).
+    step(qbuf, rbuf, bins, counts, span_diff, read_count, leaves, anc_path,
+         depth) with qbuf/rbuf in the RETAIN3 streamed layout, `bins` the
+    (B,) replicated stream-order bin vector (small), and `leaves` (NL,)
+    REPLICATED with NL a multiple of the mesh size (pad with leaf 0).
+
+    Inside the step: every device derives the member index table from the
+    replicated bins (bitwise the single-device rule), gathers ONLY the
+    (NL, M, L) member rows from the read shards - each stream row has exactly
+    one owner, so a masked local gather + integer psum completes the
+    all-to-all - then slices its own NL/n leaf range for the cluster/
+    consensus compute. Per-device memory: read shards (~B/N rows) + the
+    member-table block, never the full read set.
+
     With slots=True the step takes a trailing node2slot argument and the
     count accumulators are slot-compacted (pipeline.pileup slot mode).
     Outputs (ConsensusOut, kact, n_mem, MinorHap) sharded over their leaf dim.
     """
-    from rambl_tpu.pipeline.assemble import cluster_round0_core
+    from rambl_tpu.pipeline.assemble import cluster_round0_members
+    from rambl_tpu.pipeline.cluster import (
+        bin_sort,
+        member_table_ranges,
+        sorted_col_base,
+    )
 
-    def step(query, ref_col, bins, counts, span_diff, read_count, leaves,
+    n_dev = mesh.devices.size
+
+    def step(q_sh, rc_sh, bins, counts, span_diff, read_count, leaves,
              anc_path, depth, *slot_arg):
-        return cluster_round0_core(
-            query, ref_col, bins, counts, span_diff, read_count, leaves,
-            anc_path, depth, cfg,
-            node2slot=slot_arg[0] if slots else None,
-        )
+        me = jax.lax.axis_index(DATA_AXIS)
+        nb, bs_loc, L = q_sh.shape
+        bs = bs_loc * n_dev
+        B = bins.shape[0]
+        # member index from replicated bins: identical on every device and
+        # bitwise the single-device cluster_round0_core rule
+        order, nstart, nend = bin_sort(bins, anc_path.shape[0])
+        midx, mvalid = member_table_ranges(
+            order, nstart, nend, leaves, anc_path, depth,
+            min(cfg.max_bin_reads, B), cfg.bin_share_depth)
+        bins_m = bins[midx]
+        # distributed member gather: stream row g lives on device
+        # (g % bs) // bs_loc at local (g // bs, (g % bs) % bs_loc)
+        bi = midx // bs
+        r = midx % bs
+        lo = me * bs_loc
+        own = (r >= lo) & (r < lo + bs_loc)
+        rl = jnp.clip(r - lo, 0, bs_loc - 1)
+        qm = jnp.where(own[..., None], q_sh[bi, rl], jnp.int8(0))
+        qm = jax.lax.psum(qm, DATA_AXIS)            # one owner -> exact
+        rcl = rc_sh[bi, rl]
+        rcm = jnp.where(own[..., None], rcl, jnp.zeros((), rcl.dtype))
+        rcm = jax.lax.psum(rcm, DATA_AXIS)
+        # leaf shard (EP): this device's NL/n leaf slice
+        NL = leaves.shape[0]
+        nl = NL // n_dev
+        sl = me * nl
+        qm = jax.lax.dynamic_slice_in_dim(qm, sl, nl, 0)
+        rcm = jax.lax.dynamic_slice_in_dim(rcm, sl, nl, 0).astype(jnp.int32)
+        mvalid_l = jax.lax.dynamic_slice_in_dim(mvalid, sl, nl, 0)
+        bins_m_l = jax.lax.dynamic_slice_in_dim(bins_m, sl, nl, 0)
+        leaves_l = jax.lax.dynamic_slice_in_dim(leaves, sl, nl, 0)
+        M = qm.shape[1]
+        # gather-then-sort order; bitwise equal to sort-then-gather because
+        # sorted_col_base is row-independent (pipeline.cluster docstring)
+        mc, mb = sorted_col_base(qm.reshape(nl * M, L), rcm.reshape(nl * M, L))
+        return cluster_round0_members(
+            qm, rcm, mc.reshape(nl, M, L), mb.reshape(nl, M, L), bins_m_l,
+            mvalid_l, counts, span_diff, read_count, leaves_l, anc_path,
+            depth, cfg, node2slot=slot_arg[0] if slots else None)
 
     from rambl_tpu.pipeline.consensus import ConsensusOut, MinorHap
 
     repl = P()
     data = P(DATA_AXIS)
-    in_specs = (repl, repl, repl, repl, repl, repl, data, repl, repl)
+    in_specs = (RETAIN3, RETAIN3, repl, repl, repl, repl, repl, repl, repl)
     if slots:
         in_specs = in_specs + (repl,)
     out_specs = (

@@ -47,6 +47,23 @@ class AlignRecords(NamedTuple):
         return self.ref >= 0
 
 
+def check_sw_rows(read_lens, cfg: PipelineConfig) -> None:
+    """cfg.sw_rows exactness guard at align entry points (ADVICE r2).
+
+    Row truncation is only exact when every real read fits in the truncated
+    wavefront (ops/sw_pallas.py docstring proof). Enforced here whenever the
+    lengths are concrete (direct/script callers); traced callers are covered
+    by the host-boundary check in pipeline/assemble._stream_align."""
+    if not cfg.sw_rows or isinstance(read_lens, jax.core.Tracer):
+        return
+    ml = int(jnp.max(read_lens)) if read_lens.size else 0
+    if ml > cfg.sw_rows:
+        raise ValueError(
+            f"cfg.sw_rows={cfg.sw_rows} < longest read {ml}: the truncated "
+            "SW wavefront is only exact when every real read fits "
+            "(ops/sw_pallas.py)")
+
+
 def align_batch(
     reads: jax.Array,
     read_lens: jax.Array,
@@ -54,6 +71,7 @@ def align_batch(
     ref_seqs: jax.Array,
     cfg: PipelineConfig,
 ) -> AlignRecords:
+    check_sw_rows(read_lens, cfg)
     rc_reads = revcomp_jax(reads, read_lens)
     cands_f = seed_candidates_jax(reads, read_lens, table, cfg)
     cands_r = seed_candidates_jax(rc_reads, read_lens, table, cfg)

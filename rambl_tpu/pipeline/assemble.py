@@ -100,16 +100,19 @@ def _fill_rows(buf, val, start):
         buf, val, (start,) + (0,) * (buf.ndim - 1))
 
 
-def cluster_round0_core(query, ref_col, bins, counts, span_diff,
-                        read_count, leaves, anc_path, depth,
-                        cfg: PipelineConfig, node2slot=None):
-    """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
-    used single-device and leaf-sharded under shard_map - the EP analogue of
-    SURVEY.md section 2.3: bins are the 'experts').
+def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
+                           read_count, leaves, anc_path, depth,
+                           cfg: PipelineConfig, node2slot=None):
+    """Round-0 clustering + consensus from pre-gathered member tensors.
 
-    node2slot switches the pileup accumulators to slot-compacted active-node
-    space (full-Greengenes-scale taxonomies; see pipeline.pileup) - bitwise
-    identical where slots exist."""
+    The post-gather half of cluster_round0_core, shared by the single-device
+    path (local gather) and the mesh cluster step (distributed masked-gather
+    + psum over the sharded read retention; parallel.steps.make_cluster_step).
+    qm/rcm/mc/mb: (NL, M, L) member query codes / projected columns (int32) /
+    sorted cols / sorted bases; bins_m: (NL, M) member bin nodes; mvalid:
+    (NL, M). node2slot switches the pileup accumulators to slot-compacted
+    active-node space (full-Greengenes-scale taxonomies; see pipeline.pileup)
+    - bitwise identical where slots exist."""
     from rambl_tpu.pipeline.pileup import leaf_pileup_slots
 
     if node2slot is None:
@@ -137,6 +140,31 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     pol_valid = pol_cols < _BIG
     pol_cols = jnp.where(pol_valid, pol_cols, 0)
 
+    feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
+    can_seed = (bins_m == leaves[:, None]) & mvalid  # leaf-exclusive only
+    dp = dp_means_leaves(feat, can_seed, cfg)
+
+    cons = cluster_consensus_leaves(
+        qm, rcm, mvalid, dp.assign, pm, leaf_counts, leaf_span, cfg
+    )
+    from rambl_tpu.pipeline.consensus import (
+        _chain_read_count,
+        minor_haplotype_leaves,
+    )
+
+    # node-space counts at the leaf itself = leaf-EXCLUSIVE pileup
+    mh = minor_haplotype_leaves(excl_counts, leaf_counts, leaf_span, cfg)
+    n_mem = _chain_read_count(read_count, leaves, anc_path, depth,
+                              cfg.bin_share_depth)
+    return cons, dp.kact, n_mem, mh
+
+
+def cluster_round0_core(query, ref_col, bins, counts, span_diff,
+                        read_count, leaves, anc_path, depth,
+                        cfg: PipelineConfig, node2slot=None):
+    """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
+    the single-device entry - the mesh path gathers members distributedly in
+    parallel.steps.make_cluster_step and joins at cluster_round0_members)."""
     # range-based membership (O(NL*D*M), not O(NL*B)): bit-identical to the
     # dense member_table (tests/test_scale_paths.py); width capped at B so
     # small runs keep their dense-era shapes
@@ -164,23 +192,9 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
         mc, mb = sorted_col_base(qm.reshape(NL * M, L), rcm.reshape(NL * M, L))
         mc = mc.reshape(NL, M, L)
         mb = mb.reshape(NL, M, L)
-    feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
-    can_seed = (bins[midx] == leaves[:, None]) & mvalid  # leaf-exclusive only
-    dp = dp_means_leaves(feat, can_seed, cfg)
-
-    cons = cluster_consensus_leaves(
-        qm, rcm, mvalid, dp.assign, pm, leaf_counts, leaf_span, cfg
-    )
-    from rambl_tpu.pipeline.consensus import (
-        _chain_read_count,
-        minor_haplotype_leaves,
-    )
-
-    # node-space counts at the leaf itself = leaf-EXCLUSIVE pileup
-    mh = minor_haplotype_leaves(excl_counts, leaf_counts, leaf_span, cfg)
-    n_mem = _chain_read_count(read_count, leaves, anc_path, depth,
-                              cfg.bin_share_depth)
-    return cons, dp.kact, n_mem, mh
+    return cluster_round0_members(
+        qm, rcm, mc, mb, bins[midx], mvalid, counts, span_diff, read_count,
+        leaves, anc_path, depth, cfg, node2slot=node2slot)
 
 
 _cluster_consensus_round0 = functools.partial(jax.jit, static_argnames=("cfg",))(
@@ -321,17 +335,30 @@ def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
                        mesh):
     """shard_map variant of _stream_align (see its docstring).
 
-    Per-read outputs stay sharded over 'data'; the node-space pileup merge
+    Scale-shaped retention (VERDICT r2 #4): query/ref_col/bins are retained
+    as (nb, batch, ...) buffers SHARDED P(None, 'data', ...) and written in
+    place by a donated fill step - each device permanently holds ~B/N read
+    rows and the full per-read tensors never replicate (the old list +
+    concatenate + put_replicated path held ~5 GB of int32 ref_col per chip
+    at config-3 scale). ref_col narrows to int16 when the coordinate range
+    fits, exactly as the single-device stream. The node-space pileup merge
     is ONE psum after the whole stream (BASELINE.json:5) instead of one per
-    batch - the collective leaves the hot loop and the result is bitwise
-    identical because integer adds commute."""
+    batch; with cfg.shard_positions it rides psum_scatter and each device
+    keeps 1/N of the columns (BASELINE config 5).
+
+    Returns merged = {"query", "ref_col": (nb, bs, L) sharded retention,
+    "bins_sh": (nb, bs) sharded, "bins"/"score"/"ref"/"strand": (B,)
+    replicated small vectors}; plus the merged pileup accumulators."""
     from rambl_tpu.index.colmap import build_col_maps
     from rambl_tpu.parallel.mesh import put_replicated, put_sharded
     from rambl_tpu.parallel.ring import build_ring_shards
     from rambl_tpu.parallel.steps import (
+        RETAIN2,
+        RETAIN3,
         make_align_bin_step,
         make_pileup_merge_step,
         make_read_count_step,
+        make_retain_step,
     )
 
     n_dev = mesh.devices.size
@@ -360,36 +387,62 @@ def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     n_nodes = tables.n_nodes
     ref_len = ref_seqs.shape[1]
     padded, plens, nb, B = _pad_batches(reads, lens, cfg.batch_size)
+    bs = cfg.batch_size
+    L = padded.shape[1]
     step = make_align_bin_step(mesh, cfg, index.n_bits, ring=cfg.shard_index)
 
     def _put(i):
-        sl = slice(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+        sl = slice(i * bs, (i + 1) * bs)
         return put_sharded(padded[sl], mesh), put_sharded(plens[sl], mesh)
 
-    outs = {k: [] for k in ("query", "ref_col", "bins", "score", "ref", "strand")}
+    from jax.sharding import NamedSharding
+
+    sh3 = NamedSharding(mesh, RETAIN3)
+    sh2 = NamedSharding(mesh, RETAIN2)
+    compact = ref_len <= 32767
+    qbuf = jax.device_put(jnp.zeros((nb, bs, L), jnp.int8), sh3)
+    rbuf = jax.device_put(
+        jnp.zeros((nb, bs, L), jnp.int16 if compact else jnp.int32), sh3)
+    bbuf = jax.device_put(jnp.zeros((nb, bs), jnp.int32), sh2)
+    fill = make_retain_step(mesh)
+
+    small = {k: [] for k in ("bins", "score", "ref", "strand")}
     nxt = _put(0)
     for i in range(nb):
         cur, nxt = nxt, (_put(i + 1) if i + 1 < nb else None)
-        res = step(cur[0], cur[1], *targs, *repl)
-        for k, v in zip(("query", "ref_col", "bins", "score", "ref", "strand"),
-                        res):
-            outs[k].append(v)
-    cat = {k: (jnp.concatenate(v) if nb > 1 else v[0]) for k, v in outs.items()}
+        q, rc, b, sc, rf, st = step(cur[0], cur[1], *targs, *repl)
+        qbuf, rbuf, bbuf = fill(qbuf, rbuf, bbuf, q, rc, b, jnp.int32(i))
+        for k, v in zip(("bins", "score", "ref", "strand"), (b, sc, rf, st)):
+            small[k].append(v)
 
     dense = n_nodes <= cfg.pileup_slot_nodes
     if dense:
-        pstep = make_pileup_merge_step(mesh, n_nodes, ref_len)
-        counts, span_diff, read_count = pstep(
-            cat["query"], cat["ref_col"], cat["bins"])
+        pstep = make_pileup_merge_step(
+            mesh, n_nodes, ref_len, shard_positions=cfg.shard_positions)
+        counts, span_diff, read_count = pstep(qbuf, rbuf, bbuf)
+        if cfg.shard_positions:
+            # width contract (steps.make_pileup_merge_step): pad columns are
+            # always zero; consumers want (n_nodes, ref_len + 1). The odd
+            # width no longer divides the mesh, so replicate first (span_diff
+            # is the small diff vector, n_nodes x ref_len+1 int32; `counts`
+            # stays column-sharded until its consumer gathers it).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            span_diff = jax.device_put(
+                span_diff, NamedSharding(mesh, PartitionSpec()))
+            span_diff = span_diff[:, : ref_len + 1]
     else:
         counts = span_diff = None
-        read_count = make_read_count_step(mesh, n_nodes)(cat["bins"])
-    # replicate the per-read outputs before trimming the pad rows: the
-    # trailing cluster/consensus step consumes them replicated anyway, and a
-    # plain [:B] on a 'data'-sharded dim is an ambiguous reshard
-    from rambl_tpu.parallel.mesh import put_replicated
+        read_count = make_read_count_step(mesh, n_nodes)(bbuf)
 
+    # the small (B,) per-read vectors replicate (host bookkeeping + the
+    # replicated-bins member index rule in the cluster step); pad rows trim
+    cat = {k: (jnp.concatenate(v) if nb > 1 else v[0])
+           for k, v in small.items()}
     merged = {k: put_replicated(v, mesh)[:B] for k, v in cat.items()}
+    merged["query"] = qbuf
+    merged["ref_col"] = rbuf
+    merged["bins_sh"] = bbuf
     return merged, counts, span_diff, read_count
 
 
@@ -459,21 +512,6 @@ def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
     return out[: cfg.max_genes]
 
 
-def _pad_read_rows(query, ref_col, bins, m: int):
-    """Pad per-read arrays to a row multiple of m with inert rows (query 4,
-    ref_col/bins -1) so they divide a mesh; pads contribute nothing to any
-    scatter (bin -1 -> overflow slot)."""
-    B = bins.shape[0]
-    Bp = -(-B // m) * m
-    if Bp == B:
-        return query, ref_col, bins
-    pq = jnp.full((Bp - B, query.shape[1]), 4, query.dtype)
-    pr = jnp.full((Bp - B, ref_col.shape[1]), -1, ref_col.dtype)
-    pb = jnp.full((Bp - B,), -1, bins.dtype)
-    return (jnp.concatenate([query, pq]), jnp.concatenate([ref_col, pr]),
-            jnp.concatenate([bins, pb]))
-
-
 def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
                        round_idx=0, orig_taxon_of_node=None, index=None,
                        n_bits=None, aux_out=None, mesh=None):
@@ -528,12 +566,10 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
             from rambl_tpu.parallel.mesh import put_replicated
             from rambl_tpu.parallel.steps import make_slot_pileup_step
 
-            q, rc, b = _pad_read_rows(
-                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
-                jnp.asarray(rec["bins"]), mesh.devices.size)
             counts, span_diff = make_slot_pileup_step(
                 mesh, n_slots, ref_seqs.shape[1])(
-                    q, rc, b, put_replicated(node2slot, mesh))
+                    rec["query"], rec["ref_col"], rec["bins_sh"],
+                    put_replicated(node2slot, mesh))
         else:
             counts, span_diff = _slot_pileup(
                 jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
@@ -563,14 +599,16 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
         lp = np.concatenate([lb, np.full(bucket - lb.size, leaves[0],
                                          leaves.dtype)])
         if mesh is not None:
-            from rambl_tpu.parallel.mesh import put_replicated, put_sharded
+            from rambl_tpu.parallel.mesh import put_replicated
             from rambl_tpu.parallel.steps import make_cluster_step
 
             cstep = make_cluster_step(mesh, cfg, slots=node2slot_d is not None)
             cargs = [
-                jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
+                rec["query"], rec["ref_col"],        # sharded retention
                 jnp.asarray(rec["bins"]), counts, span_diff, read_count,
-                put_sharded(lp, mesh),
+                put_replicated(lp, mesh),            # leaves: replicated,
+                                                     # sliced per device in
+                                                     # the step (EP shard)
                 put_replicated(tables.anc_path, mesh),
                 put_replicated(tables.depth, mesh),
             ]
@@ -670,11 +708,9 @@ def leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables,
                 from rambl_tpu.parallel.mesh import put_replicated
                 from rambl_tpu.parallel.steps import make_slot_pileup_step
 
-                q, rc, b = _pad_read_rows(
-                    jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
-                    jnp.asarray(rec["bins"]), mesh.devices.size)
                 counts_s, _ = make_slot_pileup_step(mesh, n_slots, ref_len)(
-                    q, rc, b, put_replicated(node2slot, mesh))
+                    rec["query"], rec["ref_col"], rec["bins_sh"],
+                    put_replicated(node2slot, mesh))
             else:
                 counts_s, _ = _slot_pileup(
                     jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),

@@ -53,10 +53,23 @@ def test_leaf_sharded_cluster_matches(small_ds, small_index, small_tax, cfg):
 
     mesh = data_mesh(8)
     step = make_cluster_step(mesh, cfg)
+    # the step consumes the STREAMED retention layout: (nb, bs, L) sharded
+    # over the batch-row axis (parallel.steps.RETAIN3) + replicated bins
+    from jax.sharding import NamedSharding
+
+    from rambl_tpu.parallel.steps import RETAIN3
+
+    nb, bs = 2, B // 2
+    q_sh = jax.device_put(
+        jnp.asarray(res.query).reshape(nb, bs, -1), NamedSharding(mesh, RETAIN3))
+    rc_sh = jax.device_put(
+        jnp.asarray(res.ref_col).astype(jnp.int16).reshape(nb, bs, -1),
+        NamedSharding(mesh, RETAIN3))
     args_r = [put_replicated(np.asarray(x), mesh) for x in
-              (res.query, res.ref_col, bins, counts, span, read_count)]
+              (bins, counts, span, read_count)]
     cons2, kact2, nmem2, mh2 = step(
-        *args_r, put_sharded(leaves_p, mesh), put_replicated(np.asarray(anc), mesh),
+        q_sh, rc_sh, *args_r, put_replicated(leaves_p, mesh),
+        put_replicated(np.asarray(anc), mesh),
         put_replicated(np.asarray(dep), mesh),
     )
 

@@ -219,6 +219,97 @@ def test_full_assembly_on_mesh_ring_index(e2e_problem, e2e_single, mesh):
     assert _assembly_keys(r_mesh) == _assembly_keys(e2e_single)
 
 
+def test_host_config_sync_exercises_broadcast(monkeypatch):
+    """Fake a 2-process world (VERDICT r2 #7): sync_host_config must route
+    through the multihost broadcast and adopt process 0's config; the
+    fingerprint check must raise on drift."""
+    import dataclasses
+
+    import rambl_tpu.parallel.mesh as m
+    from jax.experimental import multihost_utils
+
+    cfg0 = PipelineConfig()
+    cfg_drift = dataclasses.replace(cfg0, batch_size=4096)
+    calls = []
+
+    # process-0's payload arrives regardless of the local value
+    payload0 = {"v": cfg0.to_json().encode()}
+
+    def fake_b1a(x, is_source=None):
+        calls.append(np.asarray(x).copy())
+        arr = np.frombuffer(payload0["v"], np.uint8)
+        if np.asarray(x).size == 1:            # the length exchange
+            return np.asarray([arr.size], np.int32)
+        return arr
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", fake_b1a)
+
+    got = m.sync_host_config(cfg_drift)
+    assert calls, "broadcast path was not exercised"
+    assert got == cfg0                          # process 0 wins
+
+    # fingerprint agreement: same payload passes, drifted payload raises
+    payload0["v"] = b"fingerprint-of-process-0"
+    m.assert_hosts_agree("reference FASTA", b"fingerprint-of-process-0")
+    with pytest.raises(ValueError, match="multi-host mismatch"):
+        m.assert_hosts_agree("reference FASTA", b"something-else")
+
+
+def test_mesh_stream_retention_stays_sharded(
+        small_ds, small_index, small_tax, cfg, mesh):
+    """Scale-shaped mesh streaming (VERDICT r2 #4): the per-read retention
+    buffers stay sharded over 'data' (never replicated), ref_col narrows to
+    int16, and the merged pileups are bitwise the single-device stream's."""
+    import dataclasses
+
+    from rambl_tpu.pipeline.assemble import _stream_align
+
+    cfg_b = dataclasses.replace(cfg, batch_size=256)
+    n = 600
+    rec1, counts1, span1, rcount1 = _stream_align(
+        small_ds.reads[:n], small_ds.read_lens[:n], small_index,
+        small_ds.ref_seqs, small_ds.ref_lens, small_tax, cfg_b)
+    recm, countsm, spanm, rcountm = _stream_align(
+        small_ds.reads[:n], small_ds.read_lens[:n], small_index,
+        small_ds.ref_seqs, small_ds.ref_lens, small_tax, cfg_b, mesh=mesh)
+
+    # residency: (nb, bs, L) retention sharded over the batch-row axis
+    spec = jax.sharding.PartitionSpec
+    assert recm["query"].shape[0] * recm["query"].shape[1] >= n
+    assert recm["query"].sharding.spec == spec(None, "data", None)
+    assert recm["ref_col"].sharding.spec == spec(None, "data", None)
+    assert recm["ref_col"].dtype == jnp.int16      # coordinate compaction
+    assert recm["bins_sh"].sharding.spec == spec(None, "data")
+
+    # content: stream order (batch g//bs, row g%bs) == flat single-device
+    nbm, bsm, L = recm["query"].shape
+    qm = np.asarray(recm["query"]).reshape(nbm * bsm, L)[:n]
+    rm = np.asarray(recm["ref_col"]).reshape(nbm * bsm, L)[:n]
+    np.testing.assert_array_equal(qm, np.asarray(rec1["query"]))
+    np.testing.assert_array_equal(rm, np.asarray(rec1["ref_col"]))
+    np.testing.assert_array_equal(np.asarray(recm["bins"]),
+                                  np.asarray(rec1["bins"]))
+    np.testing.assert_array_equal(np.asarray(countsm), np.asarray(counts1))
+    np.testing.assert_array_equal(np.asarray(spanm), np.asarray(span1))
+    np.testing.assert_array_equal(np.asarray(rcountm), np.asarray(rcount1))
+
+
+def test_full_assembly_on_mesh_position_sharded(e2e_problem, e2e_single, mesh):
+    """cfg.shard_positions: the streamed pileup merge rides psum_scatter
+    (deep preset, BASELINE config 5) - full assembly stays bitwise equal."""
+    import dataclasses
+
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    cfg, ds, tax = e2e_problem
+    cfg_ps = dataclasses.replace(cfg, shard_positions=True)
+    r_mesh = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                          tax, cfg_ps, mesh=mesh)
+    assert _assembly_keys(r_mesh) == _assembly_keys(e2e_single)
+
+
 def test_full_assembly_on_mesh_slot_mode(e2e_problem, mesh):
     """Force the slot-compacted pileup path (full-Greengenes-scale taxonomy
     regime) on the mesh: still bitwise equal to the same config off-mesh."""
