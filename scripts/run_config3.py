@@ -44,7 +44,8 @@ def main():
     batch = 16000 if n_reads % 16000 == 0 else 16384
     cfg = PipelineConfig(batch_size=batch, max_genes=256,
                          max_clusters_per_bin=16, max_assembly_iters=4,
-                         bin_share_depth=3, cluster_leaf_block=512)
+                         bin_share_depth=3, cluster_leaf_block=512,
+                         sw_rows=104)
     t1 = time.time()
     index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
     print(f"index: {index.n_entries} entries, 2^{index.n_bits} buckets, "

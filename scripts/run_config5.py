@@ -1,0 +1,110 @@
+"""Config-5-shaped single-host run (VERDICT r2 #8; BASELINE.json:11).
+
+The full config 5 is >=100M reads on N>=2 hosts with a sharded index and
+cross-host psum merges - hardware we do not have. This script proves the
+memory/throughput model HOLDS PAST config 3 on the one real chip: a
+20-30M-read gut-shaped job against the 100k-ref index, streaming retention,
+slot pileups, per-round checkpoints, and a REAL mid-run resume (phase A runs
+the discovery round with a checkpoint and stops; phase B resumes from disk
+and finishes - the bitwise-continuation contract of tests/test_faults.py at
+scale).
+
+Memory model (why the default is 20M, not 50M): single-device streaming
+retains query int8 + ref_col int16 + 3 small vectors ~ 3.9 B/read-column
+byte = ~0.41 GB per 1M reads at L=128, plus the ~3.3 GB packed entry table
+for 100k refs and the pileup accumulators -> ~25M reads is the single-chip
+HBM ceiling. Past that, retention must shard: the mesh path holds ~B/N rows
+per device (parallel/steps.py RETAIN3), which is exactly the >=100M design
+(8 chips hold 100M reads at ~13 GB/chip).
+
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/run_config5.py \
+      [n_reads] [n_refs]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.data.simulate import _gen_reads, simulate_dataset
+from rambl_tpu.index.builder import build_seed_index
+from rambl_tpu.index.taxonomy import build_taxonomy_tables
+from rambl_tpu.utils.cache import enable_compile_cache
+
+
+def main():
+    enable_compile_cache()
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_refs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_present = 500
+    t0 = time.time()
+    # community/taxonomy from the config-3 generator; reads regenerated in
+    # chunks (one 50M float64 error mask would eat ~40 GB host RAM)
+    ds = simulate_dataset(
+        n_species=n_refs // 5, refs_per_species=5, n_reads=1, seed=13,
+        leaf_per_ref=True, n_present=n_present,
+    )
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    chunk = 5_000_000
+    reads = np.empty((n_reads, 128), np.int8)
+    lens = np.empty((n_reads,), np.int32)
+    for i, lo in enumerate(range(0, n_reads, chunk)):
+        hi = min(lo + chunk, n_reads)
+        rng = np.random.default_rng(977 + 13 * i)
+        r, l, _, _, _ = _gen_reads(rng, ds.ref_seqs, ds.ref_lens,
+                                   ds.abundance, hi - lo, 100, 128,
+                                   0.004, 0.0005)
+        reads[lo:hi] = r
+        lens[lo:hi] = l
+    print(f"simulated {n_reads} reads vs {ds.n_refs} refs in "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    batch = 16000 if n_reads % 16000 == 0 else 16384
+    cfg = PipelineConfig(batch_size=batch, max_genes=512,
+                         max_clusters_per_bin=16, max_assembly_iters=3,
+                         bin_share_depth=3, cluster_leaf_block=512,
+                         sw_rows=104)
+    t1 = time.time()
+    index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
+    print(f"index: {index.n_entries} entries, 2^{index.n_bits} buckets, "
+          f"built in {time.time() - t1:.0f}s", flush=True)
+
+    from rambl_tpu.pipeline.assemble import assemble_jax
+    from rambl_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = "/tmp/config5.ckpt"
+    # phase A: discovery round only, checkpointed ("crash" after round 0)
+    import dataclasses
+
+    cfgA = dataclasses.replace(cfg, max_assembly_iters=1)
+    t2 = time.time()
+    resA = assemble_jax(reads, lens, ds.ref_seqs, ds.ref_lens, tax, cfgA,
+                        shared_index=index, checkpoint_path=ckpt)
+    tA = time.time() - t2
+    print(f"phase A (discovery + checkpoint): {tA:.0f}s, "
+          f"{len(resA.panel)} panel genes", flush=True)
+
+    # phase B: resume from disk, finish the loop
+    header, panel = load_checkpoint(ckpt)
+    t3 = time.time()
+    res = assemble_jax(reads, lens, ds.ref_seqs, ds.ref_lens, tax, cfg,
+                       shared_index=index, initial_panel=panel)
+    tB = time.time() - t3
+    wall = tA + tB
+    for s in res.round_stats:
+        print(s, flush=True)
+
+    aligns = sum(s.get("aligned", 0) for s in res.round_stats) + \
+        sum(s.get("aligned", 0) for s in resA.round_stats)
+    n_full = len(res.full_length(cfg))
+    print(f"phase B (resumed): {tB:.0f}s | total wall {wall:.0f}s")
+    print(f"genes {len(res.genes)} full-length {n_full} | rounds "
+          f"{res.n_rounds} (resumed from round {header['round']})")
+    print(f"effective throughput {aligns / wall:.0f} reads/s "
+          f"(all stages, {aligns} alignments)")
+    print(f"genes assembled/hour {len(res.genes) / (wall / 3600):.0f}")
+
+
+if __name__ == "__main__":
+    main()
