@@ -26,43 +26,20 @@ from rambl_tpu.index.taxonomy import TaxonomyTables, build_taxonomy_tables
 
 
 def _load_taxonomy(path: Optional[str], ref_names: List[str]):
-    """Greengenes-style taxonomy TSV -> tree tensors; None -> flat leaves."""
+    """Greengenes-style taxonomy file -> tree tensors; None -> flat leaves.
+
+    Real-Greengenes semantics live in index.greengenes.load_gg_taxonomy
+    (empty-rank placeholders like ``g__; s__`` truncate the lineage); plain
+    TSVs without placeholders parse identically."""
     if path is None:
         n = len(ref_names)
         parent = np.zeros((n + 1,), np.int32)
         depth = np.concatenate([[0], np.ones(n)]).astype(np.int32)
         ref_taxon = np.arange(1, n + 1, dtype=np.int32)
         return build_taxonomy_tables(parent, depth, ref_taxon)
-    lineages: Dict[str, List[str]] = {}
-    with open(path) as f:
-        for line in f:
-            if not line.strip():
-                continue
-            name, lin = line.rstrip("\n").split("\t", 1)
-            lineages[name] = [x.strip() for x in lin.split(";") if x.strip()]
-    parent = [0]
-    depth = [0]
-    node_of: Dict[tuple, int] = {(): 0}
+    from rambl_tpu.index.greengenes import load_gg_taxonomy
 
-    def node(pathq: tuple) -> int:
-        if pathq in node_of:
-            return node_of[pathq]
-        p = node(pathq[:-1])
-        nid = len(parent)
-        parent.append(p)
-        depth.append(len(pathq))
-        node_of[pathq] = nid
-        return nid
-
-    ref_taxon = []
-    for name in ref_names:
-        lin = lineages.get(name, [])
-        # each reference is its own leaf below its lineage
-        ref_taxon.append(node(tuple(lin) + (f"__ref__{name}",)))
-    return build_taxonomy_tables(
-        np.asarray(parent, np.int32), np.asarray(depth, np.int32),
-        np.asarray(ref_taxon, np.int32),
-    )
+    return load_gg_taxonomy(path, ref_names)
 
 
 def _write_taxonomy(path: str, ds, ref_ids) -> None:
@@ -149,6 +126,16 @@ def cmd_assemble(args) -> int:
     samples = [load_fastq_codes(p, cfg.read_len_max) for p in args.reads]
     tables = _load_taxonomy(args.taxonomy, ref_names)
 
+    col_maps = None
+    if args.msa:
+        # the database's own pre-aligned (PyNAST) columns replace pairwise-NW
+        # anchor maps for every round against the original references - exact
+        # by construction (index/greengenes.py)
+        from rambl_tpu.index.greengenes import col_maps_from_msa, load_gg_msa
+
+        msa_cols = load_gg_msa(args.msa, ref_names, cfg.ref_len_max)
+        col_maps = col_maps_from_msa(msa_cols, ref_lens, tables.ref_taxon)
+
     metrics = MetricsLogger(args.metrics)
     metrics.log("load", refs=len(refs), samples=len(samples),
                 reads=sum(int(r.shape[0]) for r, _ in samples),
@@ -202,17 +189,19 @@ def cmd_assemble(args) -> int:
     if args.oracle and len(samples) > 1:
         from rambl_tpu.oracle.cohort import assemble_cohort as oracle_cohort
 
-        results = oracle_cohort(samples, ref_seqs, ref_lens, tables, cfg)
+        results = oracle_cohort(samples, ref_seqs, ref_lens, tables, cfg,
+                                col_maps=col_maps)
     elif args.oracle:
         from rambl_tpu.oracle.pipeline import assemble
 
         results = [assemble(samples[0][0], samples[0][1], ref_seqs, ref_lens,
-                            tables, cfg, initial_panel=initial_panel)]
+                            tables, cfg, initial_panel=initial_panel,
+                            col_maps=col_maps)]
     elif len(samples) > 1:
         from rambl_tpu.pipeline.assemble import assemble_cohort
 
         results = assemble_cohort(samples, ref_seqs, ref_lens, tables, cfg,
-                                  mesh=mesh)
+                                  mesh=mesh, col_maps=col_maps)
     else:
         from rambl_tpu.pipeline.assemble import assemble_jax
 
@@ -221,7 +210,8 @@ def cmd_assemble(args) -> int:
         results = [assemble_jax(samples[0][0], samples[0][1], ref_seqs,
                                 ref_lens, tables, cfg,
                                 initial_panel=initial_panel, mesh=mesh,
-                                checkpoint_path=args.checkpoint)]
+                                checkpoint_path=args.checkpoint,
+                                col_maps=col_maps)]
     if args.profile:
         import jax
 
@@ -287,7 +277,10 @@ def main(argv=None) -> int:
     a.add_argument("--reads", required=True, nargs="+",
                    help="FASTQ[.gz]; several = cohort with shared index")
     a.add_argument("--reference", required=True, help="reference FASTA[.gz]")
-    a.add_argument("--taxonomy", help="taxonomy TSV (name<TAB>lineage;...)")
+    a.add_argument("--taxonomy", help="taxonomy TSV (name<TAB>lineage;...); "
+                   "Greengenes empty ranks (g__; s__) truncate the lineage")
+    a.add_argument("--msa", help="pre-aligned reference FASTA[.gz] (PyNAST/"
+                   "Greengenes): its columns replace pairwise-NW anchor maps")
     a.add_argument("--out", required=True, help="output FASTA")
     a.add_argument("--preset", choices=sorted(PRESETS))
     a.add_argument("--config", help="PipelineConfig JSON file")

@@ -244,14 +244,17 @@ PRESETS = {
     # 2. Small mock community: ~20 taxa, 1M reads, single host.
     "small": _preset(batch_size=8192, max_genes=64, sw_rows=_SW_ROWS_100BP),
     # 3. Human gut metagenome: ~10M reads vs full Greengenes, single host.
-    "gut": _preset(batch_size=16384, max_genes=256, max_clusters_per_bin=16,
+    # max_genes must exceed the present-taxa count (a gut sample carries
+    # hundreds of species): the r3 1M x 100k run with 500 present refs
+    # saturated 256 slots and capped recovery at 129/500.
+    "gut": _preset(batch_size=16384, max_genes=1024, max_clusters_per_bin=16,
                    bin_share_depth=3, sw_rows=_SW_ROWS_100BP),
     # 4. Multi-sample cohort: 5 metagenomes, shared sharded index.
     "cohort": _preset(batch_size=16384, max_genes=256, shard_index=True,
                       sw_rows=_SW_ROWS_100BP),
     # 5. Deep metagenome: >=100M reads, N>=2 hosts, sharded index + psum merge
     #    (position-sharded: the pileup merge rides reduce-scatter, B:11).
-    "deep": _preset(batch_size=32768, max_genes=512, shard_index=True,
+    "deep": _preset(batch_size=32768, max_genes=1024, shard_index=True,
                     max_clusters_per_bin=16, bin_share_depth=3,
                     sw_rows=_SW_ROWS_100BP, shard_positions=True),
 }

@@ -385,19 +385,22 @@ def cohort_phase(geneses: List[List], counts_list: List[Dict[int, np.ndarray]],
     return out
 
 
-def assemble_cohort(samples, ref_seqs, ref_lens, tables, cfg: PipelineConfig):
+def assemble_cohort(samples, ref_seqs, ref_lens, tables, cfg: PipelineConfig,
+                    col_maps=None):
     """Oracle cohort assembly: per-sample oracle assemble + covariation
     phasing over per-sample leaf-exclusive round-0 pileups. The executable
     spec of pipeline.assemble.assemble_cohort."""
     from rambl_tpu.oracle.pipeline import assemble
     from rambl_tpu.oracle.polish import anchor_seqs_of, leaf_exclusive_counts
 
-    results = [assemble(reads, lens, ref_seqs, ref_lens, tables, cfg)
+    results = [assemble(reads, lens, ref_seqs, ref_lens, tables, cfg,
+                        col_maps=col_maps)
                for reads, lens in samples]
     if len(samples) < 2 or not cfg.cohort_phase:
         return results
     counts_list = [
-        leaf_exclusive_counts(reads, lens, ref_seqs, ref_lens, tables, cfg)
+        leaf_exclusive_counts(reads, lens, ref_seqs, ref_lens, tables, cfg,
+                              col_maps=col_maps)
         for reads, lens in samples
     ]
     anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)

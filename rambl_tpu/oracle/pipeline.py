@@ -90,6 +90,7 @@ def assemble_round(
     round_idx: int,
     orig_taxon_of_node: Optional[np.ndarray] = None,
     n_bits: Optional[int] = None,
+    col_maps: Optional[np.ndarray] = None,
 ) -> tuple[List[Gene], dict]:
     """One align -> bin -> cluster -> consensus round.
 
@@ -97,6 +98,9 @@ def assemble_round(
     newborn gene provenance (identity when aligning vs the original reference).
     n_bits pins the hash geometry (must match the device path, which pins it
     for panel rounds so they share one compiled executable).
+    col_maps overrides the pairwise-NW anchor column maps (real-Greengenes
+    MSA coordinates, index.greengenes.col_maps_from_msa); shape/semantics of
+    index.colmap.build_col_maps.
     """
     index = build_seed_index(ref_seqs, ref_lens, k=cfg.k, n_bits=n_bits)
     res = align_reads(reads, read_lens, ref_seqs, index, cfg)
@@ -108,7 +112,8 @@ def assemble_round(
     # index.colmap)
     from rambl_tpu.index.colmap import build_col_maps
 
-    col_map = build_col_maps(ref_seqs, ref_lens, tables.ref_taxon)
+    col_map = (col_maps if col_maps is not None
+               else build_col_maps(ref_seqs, ref_lens, tables.ref_taxon))
     refc = np.clip(res.ref, 0, ref_seqs.shape[0] - 1)
     rc = res.ref_col
     proj = np.where(
@@ -269,13 +274,17 @@ def assemble(
     tables: TaxonomyTables,
     cfg: PipelineConfig,
     initial_panel: Optional[List[Gene]] = None,
+    col_maps: Optional[np.ndarray] = None,
 ) -> AssemblyResult:
     """initial_panel resumes from a checkpointed panel: the discovery round is
-    skipped and rounds continue deterministically on the given genes."""
+    skipped and rounds continue deterministically on the given genes.
+    col_maps: optional MSA-derived anchor maps for rounds against the
+    ORIGINAL references (round 0 + polish); panel rounds keep NW maps."""
     round_stats: List[dict] = []
     if initial_panel is None:
         genes, stats = assemble_round(
             reads, read_lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
+            col_maps=col_maps,
         )
         round_stats.append(stats)
     else:
@@ -309,7 +318,8 @@ def assemble(
         from rambl_tpu.oracle.polish import polish_genes
 
         genes, n_changed = polish_genes(
-            reads, read_lens, ref_seqs, ref_lens, genes, tables, cfg)
+            reads, read_lens, ref_seqs, ref_lens, genes, tables, cfg,
+            col_maps=col_maps)
         round_stats.append(dict(round="polish", changed=n_changed))
     return AssemblyResult(
         genes=genes,

@@ -56,14 +56,17 @@ def leaf_exclusive_counts(
     ref_lens: np.ndarray,
     tables: TaxonomyTables,
     cfg: PipelineConfig,
+    col_maps: Optional[np.ndarray] = None,
 ) -> Dict[int, np.ndarray]:
     """{leaf: (ref_len, 4) int32} pileup of reads binned EXACTLY at each leaf
     vs the ORIGINAL reference index (same hash geometry as round 0, so the
-    alignments are bit-identical to the discovery round's)."""
+    alignments are bit-identical to the discovery round's). col_maps
+    overrides the NW anchor maps (MSA coordinates; index.greengenes)."""
     index = build_seed_index(ref_seqs, ref_lens, k=cfg.k)
     res = align_reads(reads, read_lens, ref_seqs, index, cfg)
     bins = bin_reads(res, tables, cfg)
-    col_map = build_col_maps(ref_seqs, ref_lens, tables.ref_taxon)
+    col_map = (col_maps if col_maps is not None
+               else build_col_maps(ref_seqs, ref_lens, tables.ref_taxon))
     refc = np.clip(res.ref, 0, ref_seqs.shape[0] - 1)
     rc = res.ref_col
     proj = np.where(
@@ -149,6 +152,7 @@ def polish_genes(
     tables: TaxonomyTables,
     cfg: PipelineConfig,
     counts: Optional[Dict[int, np.ndarray]] = None,
+    col_maps: Optional[np.ndarray] = None,
 ):
     """Leaf-exclusive polish of the final panel. `counts` may be supplied by
     a caller that retained the round-0 node pileups (the device path does);
@@ -157,6 +161,7 @@ def polish_genes(
         return genes, 0
     if counts is None:
         counts = leaf_exclusive_counts(
-            reads, read_lens, ref_seqs, ref_lens, tables, cfg)
+            reads, read_lens, ref_seqs, ref_lens, tables, cfg,
+            col_maps=col_maps)
     anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
     return apply_polish(genes, counts, anchor, cfg)

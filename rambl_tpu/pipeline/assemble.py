@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -43,6 +45,33 @@ from rambl_tpu.pipeline.pileup import (
 )
 
 _BIG = 1 << 30
+
+# RAMBL_STAGE_TIMING=1: per-stage wall timers (with device syncs at stage
+# boundaries) recorded into each round's stats dict. Diagnostic only - the
+# syncs serialize the dispatch pipeline, so leave it off for benchmarks.
+_STAGE_TIMING = bool(int(os.environ.get("RAMBL_STAGE_TIMING", "0")))
+
+
+class _StageClock:
+    """Accumulates wall time per named stage (no-op unless enabled)."""
+
+    def __init__(self):
+        self.t = {}
+        self._last = time.time()
+
+    def mark(self, name, *sync):
+        if not _STAGE_TIMING:
+            return
+        for x in sync:
+            if x is not None:
+                jax.block_until_ready(x)
+        now = time.time()
+        self.t[name] = round(self.t.get(name, 0.0) + now - self._last, 2)
+        self._last = now
+
+    def into(self, stats):
+        if _STAGE_TIMING:
+            stats.update({f"t_{k}": v for k, v in self.t.items()})
 
 
 # --------------------------------------------------------------------------
@@ -219,7 +248,7 @@ def _pad_batches(reads, lens, batch):
 
 
 def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
-                  mesh=None):
+                  mesh=None, col_maps=None):
     """Batch-stream the jitted align+bin step; accumulate node pileups.
 
     Returns device arrays (query, projected ref_col, bins, score, ref,
@@ -238,7 +267,8 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
             "when every real read fits (ops/sw_pallas.py)")
     if mesh is not None:
         return _stream_align_mesh(
-            reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh)
+            reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh,
+            col_maps=col_maps)
     from rambl_tpu.index.colmap import build_col_maps
 
     table = SeedTable.from_index(index)
@@ -254,9 +284,10 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     anc = jnp.asarray(tables.anc_path)
     dep = jnp.asarray(tables.depth)
     rt = jnp.asarray(tables.ref_taxon)
-    col_map = jnp.asarray(build_col_maps(
-        np.asarray(ref_seqs), np.asarray(ref_lens),
-        np.asarray(tables.ref_taxon)))
+    col_map = jnp.asarray(
+        col_maps if col_maps is not None else build_col_maps(
+            np.asarray(ref_seqs), np.asarray(ref_lens),
+            np.asarray(tables.ref_taxon)))
     n_nodes = tables.n_nodes
     ref_len = ref_seqs.shape[1]
 
@@ -332,7 +363,7 @@ def _pad_entry_rows(ent, bucket=65536):
 
 
 def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
-                       mesh):
+                       mesh, col_maps=None):
     """shard_map variant of _stream_align (see its docstring).
 
     Scale-shaped retention (VERDICT r2 #4): query/ref_col/bins are retained
@@ -378,9 +409,9 @@ def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
             put_replicated(np.asarray(index.bucket_start), mesh),
             put_replicated(ent, mesh),
         )
-    col_map = build_col_maps(
+    col_map = (col_maps if col_maps is not None else build_col_maps(
         np.asarray(ref_seqs), np.asarray(ref_lens),
-        np.asarray(tables.ref_taxon))
+        np.asarray(tables.ref_taxon)))
     repl = [put_replicated(np.asarray(x), mesh) for x in (
         ref_seqs, tables.ref_taxon, tables.anc_path, tables.depth, col_map)]
 
@@ -514,7 +545,7 @@ def _dedupe_cap(genes: List[Gene], cfg) -> List[Gene]:
 
 def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
                        round_idx=0, orig_taxon_of_node=None, index=None,
-                       n_bits=None, aux_out=None, mesh=None):
+                       n_bits=None, aux_out=None, mesh=None, col_maps=None):
     """Device version of oracle.pipeline.assemble_round.
 
     `index` lets cohort runs share one prebuilt Greengenes index across
@@ -525,11 +556,15 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     shard_map (align/pileup data-parallel, clustering leaf-sharded),
     bit-identical to the single-device path.
     """
+    clock = _StageClock()
     if index is None:
         index = build_seed_index(ref_seqs, ref_lens, k=cfg.k, n_bits=n_bits)
+    clock.mark("index")
     rec, counts, span_diff, read_count = _stream_align(
-        reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh=mesh
+        reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh=mesh,
+        col_maps=col_maps,
     )
+    clock.mark("align", rec["query"], counts, read_count)
     node2slot_d = None
     if counts is None:
         # slot-compacted active-node mode (n_nodes > cfg.pileup_slot_nodes):
@@ -577,6 +612,7 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
                 ref_seqs.shape[1])
         if aux_out is not None:
             aux_out["slot_counts"] = (counts, node2slot)
+        clock.mark("slot_pileup", counts)
     else:
         leaves = np.unique(tables.ref_taxon)
         if aux_out is not None:
@@ -632,6 +668,7 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
             np.asarray(kact_b)[:n], np.asarray(n_mem_b)[:n],
             [np.asarray(x)[:n] for x in mh_b],
         ))
+    clock.mark("cluster")
     from rambl_tpu.pipeline.consensus import ConsensusOut, MinorHap
 
     cons = ConsensusOut(*(np.concatenate([p[0][i] for p in parts])
@@ -652,6 +689,8 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     )
     genes = _dedupe_cap(genes, cfg)
     stats["genes"] = len(genes)
+    clock.mark("genes_host")
+    clock.into(stats)
     return genes, stats
 
 
@@ -679,7 +718,8 @@ def _panel_bits(cfg):
 
 def leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables,
                      cfg: PipelineConfig, taxa, node_counts=None,
-                     slot_counts=None, shared_index=None, mesh=None):
+                     slot_counts=None, shared_index=None, mesh=None,
+                     col_maps=None):
     """{taxon: (ref_len, 4) np.int32} leaf-EXCLUSIVE round-0 pileups for the
     given taxa (oracle.polish.leaf_exclusive_counts semantics). The node-space
     accumulator built during the discovery round IS the per-leaf exclusive
@@ -694,7 +734,8 @@ def leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables,
         index = shared_index if shared_index is not None else build_seed_index(
             ref_seqs, ref_lens, k=cfg.k)
         rec, counts, _, read_count = _stream_align(
-            reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh=mesh)
+            reads, lens, index, ref_seqs, ref_lens, tables, cfg, mesh=mesh,
+            col_maps=col_maps)
         if counts is not None:
             node_counts = np.asarray(counts)
         else:
@@ -732,7 +773,7 @@ def leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables,
 
 def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
                cfg: PipelineConfig, node_counts=None, slot_counts=None,
-               shared_index=None, mesh=None):
+               shared_index=None, mesh=None, col_maps=None):
     """Device polish pass (see oracle.polish): leaf-exclusive re-vote of the
     final panel from round-0 node pileups (evidence via leaf_counts_dict).
     Returns (genes, n_changed)."""
@@ -747,13 +788,13 @@ def polish_jax(reads, lens, genes, ref_seqs, ref_lens, tables,
     counts_dict = leaf_counts_dict(
         reads, lens, ref_seqs, ref_lens, tables, cfg, taxa=taxa,
         node_counts=node_counts, slot_counts=slot_counts,
-        shared_index=shared_index, mesh=mesh)
+        shared_index=shared_index, mesh=mesh, col_maps=col_maps)
     anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
     return apply_polish(genes, counts_dict, anchor, cfg)
 
 
 def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
-                    cfg: PipelineConfig, mesh=None):
+                    cfg: PipelineConfig, mesh=None, col_maps=None):
     """Multi-sample cohort assembly with a SHARED reference index
     (BASELINE.json config 4: 'multi-sample cohort with shared sharded index').
 
@@ -778,7 +819,8 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
         aux = {} if do_phase else None
         results.append(assemble_jax(
             reads, lens, ref_seqs, ref_lens, tables, cfg,
-            shared_index=shared_index, mesh=mesh, aux_out=aux))
+            shared_index=shared_index, mesh=mesh, aux_out=aux,
+            col_maps=col_maps))
         if do_phase:
             # host-fetch the retained accumulators now so device buffers
             # do not pile up across samples
@@ -798,7 +840,7 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
     counts_list = [
         leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables, cfg,
                          taxa=taxa, shared_index=shared_index, mesh=mesh,
-                         **retained[j])
+                         col_maps=col_maps, **retained[j])
         for j, (reads, lens) in enumerate(samples)
     ]
     anchor = anchor_seqs_of(ref_seqs, ref_lens, tables.ref_taxon)
@@ -809,7 +851,8 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
 
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
                  cfg: PipelineConfig, shared_index=None, initial_panel=None,
-                 mesh=None, checkpoint_path=None, aux_out=None):
+                 mesh=None, checkpoint_path=None, aux_out=None,
+                 col_maps=None):
     """Device version of oracle.pipeline.assemble (same convergence loop:
     every round is a full discovery round; the panel maps genes back to
     their provenance taxa - see oracle.pipeline.panel_tables).
@@ -843,7 +886,7 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     if initial_panel is None:
         genes, stats = assemble_round_jax(
             reads, lens, ref_seqs, ref_lens, tables, cfg, round_idx=0,
-            index=shared_index, aux_out=aux, mesh=mesh,
+            index=shared_index, aux_out=aux, mesh=mesh, col_maps=col_maps,
         )
         round_stats.append(stats)
         _ckpt(genes, 0, round_stats)
@@ -880,12 +923,16 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     if aux_out is not None and aux:
         aux_out.update(aux)
     if cfg.polish and genes:
+        t_pol = time.time()
         genes, n_changed = polish_jax(
             reads, lens, genes, ref_seqs, ref_lens, tables, cfg,
             node_counts=(aux or {}).get("node_counts"),
             slot_counts=(aux or {}).get("slot_counts"),
-            shared_index=shared_index, mesh=mesh)
-        round_stats.append(dict(round="polish", changed=n_changed))
+            shared_index=shared_index, mesh=mesh, col_maps=col_maps)
+        pstats = dict(round="polish", changed=n_changed)
+        if _STAGE_TIMING:
+            pstats["t_polish"] = round(time.time() - t_pol, 2)
+        round_stats.append(pstats)
     return AssemblyResult(genes=genes, n_rounds=n_rounds,
                           converged=converged, round_stats=round_stats,
                           panel=panel)

@@ -42,7 +42,9 @@ def main():
 
     # batch divides n_reads when possible (no pad tail -> no retention slice)
     batch = 16000 if n_reads % 16000 == 0 else 16384
-    cfg = PipelineConfig(batch_size=batch, max_genes=256,
+    # max_genes > n_present: 500 present refs saturated 256 slots in the
+    # first r3 run (recovery capped at 129/500 by the panel cap alone)
+    cfg = PipelineConfig(batch_size=batch, max_genes=1024,
                          max_clusters_per_bin=16, max_assembly_iters=4,
                          bin_share_depth=3, cluster_leaf_block=512,
                          sw_rows=104)

@@ -1,0 +1,159 @@
+"""Real-Greengenes ingestion (index/greengenes.py): taxonomy-file semantics,
+pre-aligned (PyNAST) MSA parsing, and MSA-derived anchor column maps -
+including end-to-end parity of the col_maps override through the oracle and
+device pipelines."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from rambl_tpu.config import PipelineConfig
+from rambl_tpu.index.colmap import build_col_maps
+from rambl_tpu.index.greengenes import (
+    col_maps_from_msa,
+    load_gg_msa,
+    load_gg_taxonomy,
+    parse_gg_lineage,
+)
+from rambl_tpu.io.pack import encode_seq
+
+
+def test_parse_gg_lineage_truncates_at_empty_rank():
+    lin = "k__Bacteria; p__Firmicutes; c__Bacilli; o__; f__; g__; s__"
+    assert parse_gg_lineage(lin) == [
+        "k__Bacteria", "p__Firmicutes", "c__Bacilli"]
+    # fully resolved lineage keeps all ranks
+    full = "k__A; p__B; c__C; o__D; f__E; g__F; s__G"
+    assert len(parse_gg_lineage(full)) == 7
+    # interior placeholder also truncates (Greengenes never resolves below
+    # an unresolved rank, so anything after it is placeholder noise)
+    assert parse_gg_lineage("k__A; p__; c__C") == ["k__A"]
+    assert parse_gg_lineage("") == []
+
+
+def test_load_gg_taxonomy_tree_shape(tmp_path):
+    p = tmp_path / "gg_taxonomy.txt"
+    p.write_text(
+        "4001\tk__Bacteria; p__Firmicutes; c__Bacilli; o__; f__; g__; s__\n"
+        "4002\tk__Bacteria; p__Firmicutes; c__Bacilli; o__; f__; g__; s__\n"
+        "4003\tk__Bacteria; p__Proteo; c__Gamma; o__Entero; f__F; g__G; s__S\n"
+        "\n"
+    )
+    names = ["4001", "4002", "4003", "unlisted"]
+    tab = load_gg_taxonomy(str(p), names)
+    rt = tab.ref_taxon
+    # distinct leaves per reference
+    assert len(set(rt.tolist())) == 4
+    # 4001/4002 share the truncated 3-rank lineage: leaf depth = 3 + 1
+    assert tab.depth[rt[0]] == 4 and tab.depth[rt[1]] == 4
+    # their parents coincide (same c__Bacilli node)
+    anc = tab.anc_path
+    assert anc[rt[0], 3] == anc[rt[1], 3]
+    # 4003 resolved to all 7 ranks -> leaf depth 8
+    assert tab.depth[rt[2]] == 8
+    # unlisted reference sits directly under the root
+    assert tab.depth[rt[3]] == 1
+
+
+def test_load_gg_msa_and_gz(tmp_path):
+    aln = (
+        ">ref0 some description\n"
+        "..AC-GT.\n"
+        ">ref1\n"
+        "--ACCG--\n"
+    )
+    p = tmp_path / "aln.fasta"
+    p.write_text(aln)
+    cols = load_gg_msa(str(p), ["ref0", "ref1", "missing"], 6)
+    np.testing.assert_array_equal(cols[0], [2, 3, 5, 6, -1, -1])
+    np.testing.assert_array_equal(cols[1], [2, 3, 4, 5, -1, -1])
+    assert (cols[2] == -1).all()
+    gz = tmp_path / "aln.fasta.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(aln)
+    np.testing.assert_array_equal(load_gg_msa(str(gz), ["ref0"], 6)[0], cols[0])
+
+
+def test_col_maps_from_msa_handles_indels():
+    # anchor ACGT---TACG (MSA cols 0..3, 7..10); strain ACGTTT-TACG adds two
+    # bases the anchor lacks and misses nothing
+    #            anchor: A C G T . . . T A C G
+    #            strain: A C G T T T . T A C G
+    a_cols = np.array([0, 1, 2, 3, 7, 8, 9, 10], np.int32)
+    s_cols = np.array([0, 1, 2, 3, 4, 5, 7, 8, 9, 10], np.int32)
+    msa = np.full((2, 12), -1, np.int32)
+    msa[0, :8] = a_cols
+    msa[1, :10] = s_cols
+    lens = np.array([8, 10], np.int32)
+    taxon = np.array([5, 5], np.int32)
+    cmap = col_maps_from_msa(msa, lens, taxon)
+    np.testing.assert_array_equal(cmap[0, :8], np.arange(8))   # anchor: identity
+    # strain: bases 0-3 -> anchor 0-3, inserted bases 4,5 -> -1, 6.. -> 4..
+    np.testing.assert_array_equal(
+        cmap[1, :10], [0, 1, 2, 3, -1, -1, 4, 5, 6, 7])
+
+
+def test_msa_maps_match_nw_on_substitution_strains(small_ds):
+    # simulated strains are substitution-only mutants of their species
+    # anchor, so the database's "alignment" is columnwise identity - the
+    # MSA-derived maps must equal the pairwise-NW maps exactly
+    ds = small_ds
+    L = ds.ref_seqs.shape[1]
+    msa = np.full((ds.n_refs, L), -1, np.int32)
+    for r in range(ds.n_refs):
+        msa[r, : ds.ref_lens[r]] = np.arange(ds.ref_lens[r])
+    got = col_maps_from_msa(msa, ds.ref_lens, ds.ref_taxon)
+    want = build_col_maps(ds.ref_seqs, ds.ref_lens, ds.ref_taxon)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_col_maps_override_parity(small_ds, small_tax):
+    """assemble with explicit col_maps == assemble without (oracle AND
+    device), proving the override threads through every round-0/polish
+    consumer identically."""
+    from rambl_tpu.oracle.pipeline import assemble as oracle_assemble
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    ds = small_ds
+    cfg = PipelineConfig(batch_size=256, max_assembly_iters=2)
+    cmap = build_col_maps(ds.ref_seqs, ds.ref_lens, small_tax.ref_taxon)
+
+    base = oracle_assemble(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                           small_tax, cfg)
+    with_o = oracle_assemble(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                             small_tax, cfg, col_maps=cmap)
+    assert [g.key() for g in base.genes] == [g.key() for g in with_o.genes]
+
+    dev = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                       small_tax, cfg, col_maps=cmap)
+    assert [g.key() for g in base.genes] == [g.key() for g in dev.genes]
+
+
+def test_cli_msa_flag(tmp_path):
+    """CLI end-to-end with --taxonomy + --msa on a small simulated community
+    written in real-Greengenes formats (placeholder ranks, gapped MSA)."""
+    from rambl_tpu.cli import main
+    from rambl_tpu.data.simulate import simulate_dataset
+    from rambl_tpu.io.fasta import read_fasta
+    from rambl_tpu.io.pack import decode_seq
+
+    out = tmp_path / "sim"
+    assert main(["simulate", "--out", str(out), "--species", "3",
+                 "--strains", "2", "--reads", "400", "--seed", "5"]) == 0
+    refs = read_fasta(str(out / "refs.fasta"))
+    # substitution-only strains: the true MSA is the identity alignment;
+    # inject leading terminal gaps ('.') columns to exercise gap parsing
+    with open(tmp_path / "msa.fasta", "w") as f:
+        for name, seq in refs:
+            f.write(f">{name}\n..{seq}\n")
+    r = main([
+        "assemble", "--reads", str(out / "reads.fastq"),
+        "--reference", str(out / "refs.fasta"),
+        "--taxonomy", str(out / "taxonomy.tsv"),
+        "--msa", str(tmp_path / "msa.fasta"),
+        "--out", str(tmp_path / "genes.fasta"), "--oracle",
+    ])
+    assert r == 0
+    genes = read_fasta(str(tmp_path / "genes.fasta"))
+    assert len(genes) > 0
