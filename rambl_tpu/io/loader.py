@@ -30,6 +30,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
+        # fresh checkout: build the tiny C++ library in place (best effort;
+        # absence is handled by the pure-Python fallback either way)
+        import subprocess
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(_LIB_PATH)],
+                capture_output=True, timeout=120, check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+    if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     c_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")

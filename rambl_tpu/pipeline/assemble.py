@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import sys
 import time
 from typing import List, Optional, Tuple
 
@@ -66,8 +67,13 @@ class _StageClock:
             if x is not None:
                 jax.block_until_ready(x)
         now = time.time()
-        self.t[name] = round(self.t.get(name, 0.0) + now - self._last, 2)
+        dt = now - self._last
+        self.t[name] = round(self.t.get(name, 0.0) + dt, 2)
         self._last = now
+        if dt > 5.0:
+            # live progress for long runs: stage boundaries as they happen
+            # (stderr; the stats dict still gets the per-round totals)
+            print(f"[stage] {name} +{dt:.0f}s", file=sys.stderr, flush=True)
 
     def into(self, stats):
         if _STAGE_TIMING:

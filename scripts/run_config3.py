@@ -11,10 +11,14 @@ streaming retention, and DP-means at scale.
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/run_config3.py [n_reads] [n_refs]
 """
 
+import faulthandler
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 from rambl_tpu.config import PipelineConfig
 from rambl_tpu.data.simulate import simulate_dataset
