@@ -95,6 +95,9 @@ class PipelineConfig:
     poly_minor_frac_den: int = 20
     poly_min_minor_count: int = 4
     dp_max_iters: int = 16
+    dp_leaf_vmap: int = 16           # leaves vmapped per lax.map step in
+                                     # dp_means_leaves (1 = fully sequential);
+                                     # bounds the (ch, M, K, P) temporaries
     min_cluster_reads: int = 3       # clusters below this are not assembled
 
     # ---- consensus / iteration ----

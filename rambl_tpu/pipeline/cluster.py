@@ -283,8 +283,29 @@ def _dp_means_single(cfg: PipelineConfig, args):
 
 def dp_means_leaves(feat: jax.Array, can_seed: jax.Array,
                     cfg: PipelineConfig) -> DPMeansOut:
-    """Run DP-means over all leaves. feat (NL, M, P) int8, can_seed (NL, M)."""
+    """Run DP-means over all leaves. feat (NL, M, P) int8, can_seed (NL, M).
+
+    Leaves are independent, so they run vmapped in chunks of
+    cfg.dp_leaf_vmap (sequential lax.map over chunks bounds the (ch, M, K, P)
+    temporaries): a pure lax.map serialized NL small latency-bound steps and
+    dominated config-3-scale rounds (71 s/round measured at 1M reads x 100k
+    refs). Bitwise identical to the sequential map - every per-leaf op is
+    integer-exact and vmap adds only a batch dimension (the einsum f32
+    accumulations are exact: 0/1 products summed to < 2^24)."""
+    NL = feat.shape[0]
+    ch = max(1, min(cfg.dp_leaf_vmap, NL))
+    single = functools.partial(_dp_means_single, cfg)
+    if NL % ch:
+        pad = ch - NL % ch
+        feat = jnp.concatenate([feat, feat[:1].repeat(pad, 0)])
+        can_seed = jnp.concatenate([can_seed, can_seed[:1].repeat(pad, 0)])
+    G = feat.shape[0] // ch
     assign, centers, kact = jax.lax.map(
-        functools.partial(_dp_means_single, cfg), (feat, can_seed)
+        jax.vmap(single),
+        (feat.reshape(G, ch, *feat.shape[1:]),
+         can_seed.reshape(G, ch, *can_seed.shape[1:])),
     )
+    assign = assign.reshape(G * ch, *assign.shape[2:])[:NL]
+    centers = centers.reshape(G * ch, *centers.shape[2:])[:NL]
+    kact = kact.reshape(G * ch)[:NL]
     return DPMeansOut(assign=assign, centers=centers, kact=kact)
