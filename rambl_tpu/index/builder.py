@@ -23,8 +23,6 @@ import dataclasses
 
 import numpy as np
 
-from rambl_tpu.io.pack import kmer_keys
-
 # Knuth multiplicative hashing constant (2^32 / golden ratio), as used by many
 # open-addressing schemes; applied to the 2k-bit k-mer key.
 _HASH_MULT = np.uint64(2654435769)
@@ -105,8 +103,8 @@ def build_seed_index(
     lens = np.asarray(ref_lens, dtype=np.int64)
     n_win = max(Lmax - k + 1, 0)
     all_keys, all_refs, all_pos = [], [], []
-    chunk = max(1, (64 << 20) // max(n_win, 1))      # ~512 MB of int64 keys
-    for r0 in range(0, R, chunk):
+    chunk = max(1, (64 << 20) // max(n_win, 1))      # ~256 MB of int32 keys
+    for r0 in range(0, R, chunk) if n_win > 0 else ():
         r1 = min(r0 + chunk, R)
         codes = np.asarray(ref_seqs[r0:r1])
         # 2k <= 30 bits: accumulate keys in int32 (half the bandwidth)

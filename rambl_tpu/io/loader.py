@@ -32,13 +32,20 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
         # fresh checkout: build the tiny C++ library in place (best effort;
         # absence is handled by the pure-Python fallback either way)
+        # the Makefile links to a temp name and mv's into place, so a
+        # concurrent importer never CDLLs a half-written .so
+        import logging
         import subprocess
         try:
-            subprocess.run(
+            proc = subprocess.run(
                 ["make", "-C", os.path.dirname(_LIB_PATH)],
                 capture_output=True, timeout=120, check=False)
-        except (OSError, subprocess.TimeoutExpired):
-            pass
+            if proc.returncode != 0:
+                logging.getLogger(__name__).debug(
+                    "native loader build failed (rc=%d): %s",
+                    proc.returncode, proc.stderr.decode(errors="replace"))
+        except (OSError, subprocess.TimeoutExpired) as e:
+            logging.getLogger(__name__).debug("native loader build failed: %s", e)
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)

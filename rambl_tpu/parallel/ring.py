@@ -12,9 +12,10 @@ to the replicated lookup (tested in tests/test_distributed.py).
 Host-side prep: build_ring_shards slices the CSR table by bucket range and
 pads entry arrays to a common length.
 
-A Pallas `make_async_remote_copy` double-buffered variant of the rotation is
-the planned upgrade for overlapping DMA with probe compute at full ICI
-bandwidth (SURVEY.md section 5 "Distributed communication backend").
+A Pallas `make_async_remote_copy` double-buffered variant of the rotation
+SHIPPED in round 3 (rambl_tpu.parallel.ring_dma, select with
+cfg.ring_impl="dma"): chunked raw remote DMA over lane-aligned views, bitwise
+vs the ppermute path (SURVEY.md section 5 "Distributed communication backend").
 """
 
 from __future__ import annotations
