@@ -45,6 +45,18 @@ class AlignmentResult:
         return self.ref >= 0
 
 
+def mapping_quality(res: "AlignmentResult") -> np.ndarray:
+    """MAPQ-equivalent margin, bit-identical to pipeline.align.mapping_quality
+    (tests/test_ops_parity.py): best score minus best valid other-reference
+    pair score; 0 for unaligned or cross-ref multi-mapped reads."""
+    second = np.max(
+        np.where(res.pair_valid & (res.pair_ref != res.ref[:, None]),
+                 res.pair_score, 0),
+        axis=1,
+    )
+    return np.where(res.aligned, res.score - second, 0).astype(np.int32)
+
+
 def align_reads(
     reads: np.ndarray,
     read_lens: np.ndarray,

@@ -5,4 +5,8 @@ oracle is the spec, this package is the TPU execution path
 (SURVEY.md section 3.4 target stack).
 """
 
-from rambl_tpu.pipeline.align import align_batch, AlignRecords  # noqa: F401
+from rambl_tpu.pipeline.align import (  # noqa: F401
+    align_batch,
+    AlignRecords,
+    mapping_quality,
+)

@@ -47,6 +47,25 @@ class AlignRecords(NamedTuple):
         return self.ref >= 0
 
 
+def mapping_quality(res: "AlignRecords") -> jax.Array:
+    """Per-read mapping-confidence margin: the MAPQ equivalent (SURVEY.md
+    section 3.2 "compute MAPQ, emit SAM record").
+
+    Integer-exact: best pair score minus the best score among valid pairs to
+    a DIFFERENT reference (alternate windows/strands on the same ref are the
+    same mapping, as bwa mem treats overlapping alt hits). A read with no
+    competing reference keeps its full score as margin; unaligned reads get 0.
+    Downstream filtering: margin 0 == multi-mapped across refs (binning's
+    bin_score_delta multi-hit voting already consumes these pairs directly).
+    """
+    second = jnp.max(
+        jnp.where(res.pair_valid & (res.pair_ref != res.ref[:, None]),
+                  res.pair_score, 0),
+        axis=1,
+    )
+    return jnp.where(res.aligned, res.score - second, 0).astype(jnp.int32)
+
+
 def check_sw_rows(read_lens, cfg: PipelineConfig) -> None:
     """cfg.sw_rows exactness guard at align entry points (ADVICE r2).
 

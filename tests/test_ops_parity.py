@@ -106,6 +106,28 @@ def test_align_batch_parity(aligned_pair):
         )
 
 
+def test_mapping_quality_parity(aligned_pair):
+    from rambl_tpu.oracle.align import mapping_quality as mq_np
+    from rambl_tpu.pipeline.align import mapping_quality as mq_jx
+
+    res_np, res_jx = aligned_pair
+    a = mq_np(res_np)
+    b = np.asarray(jax.jit(mq_jx)(res_jx))
+    np.testing.assert_array_equal(a, b)
+    # semantics: margin is bounded by the best score, 0 for unaligned reads,
+    # and 0 whenever an equally-scoring hit on a different ref exists
+    assert np.all(a[res_np.ref < 0] == 0)
+    assert np.all(a <= res_np.score)
+    other_tie = (
+        res_np.pair_valid
+        & (res_np.pair_ref != res_np.ref[:, None])
+        & (res_np.pair_score == res_np.score[:, None])
+    ).any(axis=1)
+    assert np.all(a[res_np.aligned & other_tie] == 0)
+    # at least some uniquely-mapped reads should carry a positive margin
+    assert np.any(a > 0)
+
+
 def test_bin_parity(aligned_pair, small_tax, cfg):
     res_np, res_jx = aligned_pair
     b_np = bin_reads(res_np, small_tax, cfg)
