@@ -130,6 +130,84 @@ def test_col_maps_override_parity(small_ds, small_tax):
     assert [g.key() for g in base.genes] == [g.key() for g in dev.genes]
 
 
+def test_load_gg_msa_realistic_width(tmp_path):
+    """PyNAST-shaped robustness (VERDICT r3 #7): real Greengenes MSAs are
+    7682 columns with wrapped sequence lines, '.' terminal / '-' internal
+    gaps, duplicate ids, and refs missing from the file."""
+    rng = np.random.default_rng(7)
+    n_msa, L = 7682, 1400
+    cols = np.sort(rng.choice(n_msa - 200, size=L, replace=False)) + 100
+    seq = "".join(rng.choice(list("ACGT"), size=L))
+    row = np.full(n_msa, ord("-"), np.uint8)
+    row[: cols[0]] = ord(".")            # terminal gaps are dots
+    row[cols[-1] + 1:] = ord(".")
+    row[cols] = np.frombuffer(seq.encode(), np.uint8)
+    aln = row.tobytes().decode()
+    wrapped = "\n".join(aln[i: i + 60] for i in range(0, n_msa, 60))
+    p = tmp_path / "gg_13_8_pynast.fasta"
+    p.write_text(
+        ">r0 duplicate-first-occurrence\n" + "." * n_msa + "\n"
+        f">r0 real record wins (last occurrence)\n{wrapped}\n"
+        f">r1\n{wrapped}\n"
+    )
+    got = load_gg_msa(str(p), ["r0", "r1", "absent"], L + 8)
+    np.testing.assert_array_equal(got[0, :L], cols)
+    assert (got[0, L:] == -1).all()
+    np.testing.assert_array_equal(got[1, :L], cols)
+    assert (got[2] == -1).all()
+    # column maps at this width stay within the int16 streaming-retention
+    # boundary (pipeline/assemble.py int16 ref_col): maps are anchor-relative
+    cmap = col_maps_from_msa(got[:2], np.array([L, L], np.int32),
+                             np.array([3, 3], np.int32))
+    np.testing.assert_array_equal(cmap[0, :L], np.arange(L))
+    np.testing.assert_array_equal(cmap[1, :L], np.arange(L))
+    assert cmap.max() < np.iinfo(np.int16).max
+
+
+def test_cli_msa_realistic_width_end_to_end(tmp_path):
+    """--msa end-to-end with a 7682-column wrapped PyNAST fixture: every
+    species' strains share one real column set, so the MSA-derived maps must
+    reproduce the no-MSA (pairwise-NW) genes exactly."""
+    from rambl_tpu.cli import main
+    from rambl_tpu.io.fasta import read_fasta
+
+    out = tmp_path / "sim"
+    assert main(["simulate", "--out", str(out), "--species", "2",
+                 "--strains", "2", "--reads", "300", "--seed", "9"]) == 0
+    refs = read_fasta(str(out / "refs.fasta"))
+    rng = np.random.default_rng(3)
+    n_msa = 7682
+    # one column set per species (strains are substitution-only mutants of
+    # the species anchor, so they genuinely share coordinates)
+    species_cols = {}
+    with open(tmp_path / "msa.fasta", "w") as f:
+        for name, seq in refs:
+            key = name.split("_")[0]      # sp{N}: strains share coordinates
+            if key not in species_cols:
+                species_cols[key] = np.sort(
+                    rng.choice(n_msa, size=len(seq), replace=False))
+            cols = species_cols[key]
+            row = np.full(n_msa, ord("-"), np.uint8)
+            row[: cols[0]] = ord(".")
+            row[cols[-1] + 1:] = ord(".")
+            row[cols] = np.frombuffer(seq.encode(), np.uint8)
+            aln = row.tobytes().decode()
+            f.write(f">{name}\n")
+            for i in range(0, n_msa, 60):
+                f.write(aln[i: i + 60] + "\n")
+
+    common = ["assemble", "--reads", str(out / "reads.fastq"),
+              "--reference", str(out / "refs.fasta"),
+              "--taxonomy", str(out / "taxonomy.tsv"), "--oracle"]
+    assert main(common + ["--msa", str(tmp_path / "msa.fasta"),
+                          "--out", str(tmp_path / "genes_msa.fasta")]) == 0
+    assert main(common + ["--out", str(tmp_path / "genes_nw.fasta")]) == 0
+    g_msa = read_fasta(str(tmp_path / "genes_msa.fasta"))
+    g_nw = read_fasta(str(tmp_path / "genes_nw.fasta"))
+    assert len(g_msa) > 0
+    assert [s for _, s in g_msa] == [s for _, s in g_nw]
+
+
 def test_cli_msa_flag(tmp_path):
     """CLI end-to-end with --taxonomy + --msa on a small simulated community
     written in real-Greengenes formats (placeholder ranks, gapped MSA)."""
