@@ -188,8 +188,10 @@ class PipelineConfig:
     mesh_data_axis: str = "data"
     shard_index: bool = False        # False: replicate index; True: ring-sharded
     # transport for the ring-sharded index rotation: "ppermute" = XLA
-    # collective; "dma" = raw Pallas make_async_remote_copy + DMA semaphores
-    # (parallel/ring_dma.py; TPU meshes only - bitwise identical)
+    # collective; "dma" = raw Pallas make_async_remote_copy + DMA semaphores;
+    # "dma_barrier" = dma plus a neighbor entry barrier + collective_id
+    # (parallel/ring_dma.py ordering invariant; TPU meshes only - all
+    # bitwise identical)
     ring_impl: str = "ppermute"
     # merge the streamed pileup accumulators with psum_scatter over the
     # COLUMN axis instead of a full psum (mesh mode only): the collective

@@ -21,15 +21,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _try_dma(mesh, x):
+def _try_dma(mesh, x, impl="dma"):
     f = jax.jit(jax.shard_map(
-        lambda v: ring_rotate((v,), DATA_AXIS, impl="dma", interpret=True)[0],
+        lambda v: ring_rotate((v,), DATA_AXIS, impl=impl, interpret=True)[0],
         mesh=mesh, in_specs=(P(DATA_AXIS, None),),
         out_specs=P(DATA_AXIS, None), check_vma=False))
     return np.asarray(f(x))
 
 
-def test_dma_rotation_matches_ppermute():
+@pytest.mark.parametrize("impl", ["dma", "dma_barrier"])
+def test_dma_rotation_matches_ppermute(impl):
     mesh = data_mesh(8)
     x = jnp.arange(8 * 16 * 4, dtype=jnp.int32).reshape(8 * 16, 4)
     g = jax.jit(jax.shard_map(
@@ -41,7 +42,7 @@ def test_dma_rotation_matches_ppermute():
     np.testing.assert_array_equal(
         want, np.roll(np.asarray(x).reshape(8, 16, 4), 1, 0).reshape(-1, 4))
     try:
-        got = _try_dma(mesh, x)
+        got = _try_dma(mesh, x, impl)
     except Exception as e:  # noqa: BLE001 - interpreter capability probe
         pytest.skip(f"pallas interpreter lacks remote DMA on CPU: "
                     f"{type(e).__name__}: {str(e)[:120]}")
