@@ -22,6 +22,15 @@ import jax.numpy as jnp
 from rambl_tpu.index.taxonomy import MAX_DEPTH
 
 
+#: rows per scatter chunk when a single call covers a whole retention buffer
+#: (slot mode scatters ALL reads in one jit). XLA lowers the scatter-add via
+#: a full sort of the flattened (B*L) index array - three int32 temps of that
+#: size - so an unchunked 10M-read call needs 3 x 4.8 GB of HBM temps and
+#: OOMs a 16 GB chip (measured, config 3 round 0). 512Ki rows bound the
+#: temps at ~0.8 GB while keeping the sort long enough to stay efficient.
+_SCATTER_ROW_CHUNK = 1 << 19
+
+
 def node_pileup(
     query: jax.Array,     # (B, L) int8 aligned-orientation codes
     ref_col: jax.Array,   # (B, L) int32 global columns, -1 = unaligned
@@ -33,8 +42,39 @@ def node_pileup(
 
     Returns (counts (n_nodes, ref_len, 4) int32, span_diff (n_nodes, ref_len+1)
     int32). span_diff is the un-cumsum'd interval-difference array.
+
+    Calls larger than _SCATTER_ROW_CHUNK rows run as a lax.scan of per-chunk
+    scatters accumulated into the output tensors - integer scatter-adds
+    commute, so the chunked sum is bit-identical to the one-shot scatter
+    (tests/test_scale_paths.py) while bounding the XLA sort temps.
     """
     B, L = query.shape
+    if B > _SCATTER_ROW_CHUNK:
+        ck = _SCATTER_ROW_CHUNK
+        nb = -(-B // ck)
+        pad = nb * ck - B
+        if pad:
+            # pad rows are inert: ref_col -1 fails the ok mask, bins -1
+            # routes the span scatter to the sentinel slot
+            query = jnp.concatenate(
+                [query, jnp.full((pad, L), 4, query.dtype)])
+            ref_col = jnp.concatenate(
+                [ref_col, jnp.full((pad, L), -1, ref_col.dtype)])
+            bins = jnp.concatenate([bins, jnp.full((pad,), -1, bins.dtype)])
+
+        def body(carry, xs):
+            c, s = carry
+            q, rc, b = xs
+            cc, ss = node_pileup(q, rc, b, n_nodes, ref_len)
+            return (c + cc, s + ss), None
+
+        init = (jnp.zeros((n_nodes, ref_len, 4), jnp.int32),
+                jnp.zeros((n_nodes, ref_len + 1), jnp.int32))
+        (counts, span_diff), _ = jax.lax.scan(
+            body, init,
+            (query.reshape(nb, ck, L), ref_col.reshape(nb, ck, L),
+             bins.reshape(nb, ck)))
+        return counts, span_diff
     # the streaming driver retains ref_col as int16 (values < ref_len_max
     # round-trip exactly); widen inside the jit so the cast fuses
     ref_col = ref_col.astype(jnp.int32)

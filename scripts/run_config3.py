@@ -12,6 +12,8 @@ streaming retention, and DP-means at scale.
 """
 
 import faulthandler
+import os
+import pickle
 import signal
 import sys
 import time
@@ -34,13 +36,23 @@ def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_refs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     n_present = 500
+    # dataset + index cache: simulation (~10 min) and index build (~5 min)
+    # are deterministic in (n_reads, n_refs, seed) - skip them on reruns
+    cache = f"/tmp/config3_cache_{n_reads}_{n_refs}_seed13.pkl"
     t0 = time.time()
-    ds = simulate_dataset(
-        n_species=n_refs // 5, refs_per_species=5, n_reads=n_reads, seed=13,
-        leaf_per_ref=True, n_present=n_present,
-    )
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            ds, index = pickle.load(f)
+        print(f"loaded cached dataset+index from {cache} "
+              f"in {time.time() - t0:.0f}s", flush=True)
+    else:
+        ds = simulate_dataset(
+            n_species=n_refs // 5, refs_per_species=5, n_reads=n_reads,
+            seed=13, leaf_per_ref=True, n_present=n_present,
+        )
+        index = None
     tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
-    print(f"simulated {n_reads} reads vs {ds.n_refs} refs "
+    print(f"dataset: {n_reads} reads vs {ds.n_refs} refs "
           f"({n_present} present, {tax.n_nodes} taxonomy nodes) in "
           f"{time.time() - t0:.0f}s", flush=True)
 
@@ -53,7 +65,10 @@ def main():
                          bin_share_depth=3, cluster_leaf_block=512,
                          sw_rows=104)
     t1 = time.time()
-    index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
+    if index is None:
+        index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
+        with open(cache, "wb") as f:
+            pickle.dump((ds, index), f, protocol=4)
     print(f"index: {index.n_entries} entries, 2^{index.n_bits} buckets, "
           f"built in {time.time() - t1:.0f}s", flush=True)
 

@@ -86,6 +86,26 @@ def test_slot_pileup_matches_dense(toy_tax):
     np.testing.assert_array_equal(np.asarray(ls1), np.asarray(ls2))
 
 
+def test_chunked_scatter_matches_oneshot(toy_tax, monkeypatch):
+    """The row-chunked scan scatter (config-3 HBM bound: the one-shot 10M-read
+    scatter OOMs via XLA's 3x sort temps) must be bit-identical to the
+    direct scatter, including the inert-pad tail and int16 ref_col."""
+    import rambl_tpu.pipeline.pileup as pu
+
+    rng = np.random.default_rng(4)
+    ref_len = 64
+    q, rc, bins = _random_reads(rng, 300, 16, toy_tax.n_nodes, ref_len)
+    want_c, want_s = node_pileup(q, rc, bins, toy_tax.n_nodes, ref_len)
+    monkeypatch.setattr(pu, "_SCATTER_ROW_CHUNK", 64)   # 300 -> 5 chunks + pad
+    got_c, got_s = node_pileup(q, rc, bins, toy_tax.n_nodes, ref_len)
+    np.testing.assert_array_equal(np.asarray(want_c), np.asarray(got_c))
+    np.testing.assert_array_equal(np.asarray(want_s), np.asarray(got_s))
+    rc16 = rc.astype(jnp.int16)
+    got_c2, got_s2 = node_pileup(q, rc16, bins, toy_tax.n_nodes, ref_len)
+    np.testing.assert_array_equal(np.asarray(want_c), np.asarray(got_c2))
+    np.testing.assert_array_equal(np.asarray(want_s), np.asarray(got_s2))
+
+
 def test_forced_slot_assembly_matches_oracle():
     """Full device assembly in FORCED slot mode (pileup_slot_nodes=1: every
     round and the polish pass run the active-node/compacted path) must stay
