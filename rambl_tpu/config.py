@@ -168,6 +168,10 @@ class PipelineConfig:
     polish_min_depth: int = 4
     polish_maj_num: int = 2
     polish_maj_den: int = 3
+    # fill INTERIOR emit holes at polish time: pileup winner at depth >=
+    # polish_min_depth, else the leaf anchor's reference base (the
+    # reference-guided gap fill; oracle/polish.py module docstring)
+    polish_fill_holes: bool = True
 
     # ---- batching / parallelism ----
     # node pileups switch from the dense (n_nodes, ref_len, 4) accumulator to

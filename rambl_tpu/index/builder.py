@@ -122,12 +122,15 @@ def build_seed_index(
         # windows past each ref's length are invalid
         valid &= np.arange(n_win)[None, :] <= (lens[r0:r1, None] - k)
         rr, pp = np.nonzero(valid)
-        all_keys.append(key[rr, pp].astype(np.int64))
-        all_refs.append(rr.astype(np.int64) + r0)
-        all_pos.append(pp.astype(np.int64))
-    keys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.int64)
-    refs = np.concatenate(all_refs) if all_refs else np.zeros(0, np.int64)
-    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
+        # int32 throughout the build: keys are <= 30 bits, ref/pos fit easily
+        # - the full-Greengenes build moves ~150M entries through concat,
+        # hash, sort and permute, so every dropped byte is ~150 MB of traffic
+        all_keys.append(key[rr, pp])
+        all_refs.append((rr + r0).astype(np.int32))
+        all_pos.append(pp.astype(np.int32))
+    keys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.int32)
+    refs = np.concatenate(all_refs) if all_refs else np.zeros(0, np.int32)
+    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int32)
 
     n_entries = keys.shape[0]
     if n_bits is None:
@@ -136,17 +139,38 @@ def build_seed_index(
         # (the capped bucket scan tolerates load factors > 1)
         n_bits = min(27, max(8, int(np.ceil(np.log2(max(n_entries, 1) * 2 + 1)))))
 
-    bucket = hash_kmer(keys, n_bits)
     # Sort by (bucket, key, ref, pos): deterministic capped scans. Entries are
     # enumerated in (ref, pos) order, so ONE stable sort by the packed
     # (bucket, key) int64 (bucket <= 27 bits, key 2k <= 30 bits) reproduces
     # the full 4-key lexsort order — and numpy's stable int sort is radix
-    # (~8s vs ~160s for lexsort at 150M entries).
+    # (~8s vs ~160s for lexsort at 150M entries). bucket and key come back
+    # out of the SORTED packed value (shift/mask) instead of two more 150M
+    # gathers; the hash itself runs in uint32 (the multiplicative hash is
+    # mod-2^32 by construction, hash_kmer parity asserted in tests).
     if n_bits + 2 * k <= 62:
-        order = np.argsort((bucket << (2 * k)) | keys, kind="stable")
+        h = keys.astype(np.uint32)
+        np.multiply(h, _HASH_MULT.astype(np.uint32), out=h)
+        b = (h >> np.uint32(32 - n_bits)).astype(np.int64)
+        del h
+        packed = np.bitwise_or(np.left_shift(b, 2 * k, out=b),
+                               keys.astype(np.int64), out=b)
+        order = np.argsort(packed, kind="stable")
+        del packed, b
+        keys = keys[order]
+        refs = refs[order]
+        pos = pos[order]
+        del order
+        # the bucket of each sorted entry: one uint32 multiply pass over the
+        # sorted int32 keys, far cheaper than gathering an int64 bucket array
+        h = keys.astype(np.uint32)
+        np.multiply(h, _HASH_MULT.astype(np.uint32), out=h)
+        bucket = (h >> np.uint32(32 - n_bits)).astype(np.int32)
+        del h
     else:
+        bucket = hash_kmer(keys.astype(np.int64), n_bits)
         order = np.lexsort((pos, refs, keys, bucket))
-    bucket, keys, refs, pos = bucket[order], keys[order], refs[order], pos[order]
+        bucket, keys, refs, pos = (bucket[order], keys[order], refs[order],
+                                   pos[order])
 
     P = 1 << n_bits
     counts = np.bincount(bucket, minlength=P)

@@ -29,8 +29,18 @@ polish_maj_den of the votes, at that gene's own taxon. Mixed strain columns
 (~50/50 between variants) never reach the bar and stay untouched; columns
 corrupted by contamination or bin-majority coin flips are repaired.
 
-Substitution-only: offsets and lengths never change, so panel coordinates
-stay valid. Deterministic and integer-exact throughout.
+HOLE REPAIR (cfg.polish_fill_holes): consensus emit can drop INTERIOR
+columns whose per-sample coverage dips below the emit gates; every such hole
+plants ~2(k-1) foreign k-mers at its junction, and the config-4 census
+measured exactly this as the dominant miss class (genes with ZERO wrong
+bases at 0.87 containment, 60-150 interior columns absent). Polish re-opens
+those columns: a hole fills with the exclusive-pileup winner when depth >=
+polish_min_depth, else with the leaf ANCHOR's reference base - the
+reference-guided gap fill the reference pipeline gets for free because its
+candidate sequences START as full-length database references. Substitution
+polish itself never changes offsets or lengths; hole repair inserts interior
+bases only (first/last mapped columns never move), so panel offsets stay
+valid. Deterministic and integer-exact throughout.
 """
 
 from __future__ import annotations
@@ -94,6 +104,47 @@ def anchor_seqs_of(ref_seqs: np.ndarray, ref_lens: np.ndarray,
     return out
 
 
+def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
+                    cfg: PipelineConfig):
+    """Fill a gene's INTERIOR emit holes (module docstring). Returns
+    (gene, n_filled); the gene is unchanged when it has no holes.
+
+    A hole is an anchor column strictly between the gene's first and last
+    mapped columns with no gene base mapped to it. Fill source: the
+    leaf-exclusive pileup winner at depth >= polish_min_depth (ties -> lowest
+    base, as everywhere), else the anchor's reference base. Insertions
+    relative to the anchor (gene positions with no column) stay in place."""
+    from rambl_tpu.index.colmap import _nw_map
+
+    ref_len = c_leaf.shape[0]
+    A = aseq.shape[0]
+    gcols = _nw_map(aseq, g.seq)
+    mapped = gcols[gcols >= 0]
+    if mapped.size < 2:
+        return g, 0
+    first, last = int(mapped.min()), int(mapped.max())
+    have = np.zeros(ref_len, bool)
+    have[np.clip(mapped, 0, ref_len - 1)] = True
+    holes = [c for c in range(first + 1, last) if not have[c] and c < A]
+    if not holes:
+        return g, 0
+    tot = c_leaf.sum(axis=1)
+    top = np.argmax(c_leaf, axis=1)
+    fill = {c: int(top[c]) if int(tot[c]) >= cfg.polish_min_depth
+            else int(aseq[c]) for c in holes}
+    out: List[int] = []
+    hi = 0
+    for i in range(g.seq.shape[0]):
+        gc = int(gcols[i])
+        if gc >= 0:
+            while hi < len(holes) and holes[hi] < gc:
+                out.append(fill[holes[hi]])
+                hi += 1
+        out.append(int(g.seq[i]))
+    seq = np.asarray(out, np.int8)
+    return dataclasses.replace(g, seq=seq), len(holes)
+
+
 def apply_polish(genes: List, counts: Dict[int, np.ndarray],
                  anchor_seqs: Dict[int, np.ndarray], cfg: PipelineConfig):
     """Override gene bases where the leaf-exclusive vote is deep and decisive.
@@ -138,8 +189,12 @@ def apply_polish(genes: List, counts: Dict[int, np.ndarray],
         )
         seq = np.where(ok, top, g.seq).astype(np.int8)
         nch = int((seq != g.seq).sum())
+        g2 = dataclasses.replace(g, seq=seq) if nch else g
+        if cfg.polish_fill_holes:
+            g2, nfill = fill_gene_holes(g2, c_leaf, aseq, cfg)
+            nch += nfill
         changed += nch
-        out.append(dataclasses.replace(g, seq=seq) if nch else g)
+        out.append(g2)
     return out, changed
 
 

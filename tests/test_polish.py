@@ -98,7 +98,9 @@ def test_interior_hole_coordinates():
     """A gene whose consensus dropped an INTERIOR column must still read the
     pileup at the true downstream columns (the round-1 offset+i contiguity
     bug shifted every base after the hole and polish corrupted the tail)."""
-    cfg = PipelineConfig()
+    import dataclasses
+
+    cfg = dataclasses.replace(PipelineConfig(), polish_fill_holes=False)
     anchor = np.asarray([0, 1, 2, 3, 0, 1, 2, 3], np.int8)
     # gene = anchor with column 3 deleted (interior hole)
     g = mk_gene([0, 1, 2, 0, 1, 2, 3], offset=0)
@@ -110,3 +112,44 @@ def test_interior_hole_coordinates():
     assert changed == 1
     # gene pos 5 (anchor col 6) flips to A; everything else untouched
     assert genes[0].seq.tolist() == [0, 1, 2, 0, 1, 0, 3]
+
+
+def test_hole_fill_from_pileup_and_anchor():
+    """Interior emit holes fill from the exclusive pileup when deep, from the
+    anchor reference otherwise; terminal truncation is never extended."""
+    cfg = PipelineConfig()
+    assert cfg.polish_fill_holes
+    anchor = np.asarray([0, 1, 2, 3, 0, 1, 2, 3, 0, 1], np.int8)
+    # gene = anchor cols 1..8 with interior cols 3 and 6 deleted
+    g = mk_gene([1, 2, 0, 1, 3, 0], offset=1)
+    c = counts_for(anchor, 10, 10)
+    c[3] = 0
+    c[3, 3] = 9           # deep pileup says T at the first hole
+    c[6] = 0              # second hole has NO depth -> anchor base (2)
+    genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
+    assert genes[0].seq.tolist() == [1, 2, 3, 0, 1, 2, 3, 0]
+    assert changed == 2
+    # terminal cols 0 and 9 stay absent; offset unchanged
+    assert genes[0].offset == g.offset
+
+
+def test_hole_fill_preserves_insertions():
+    """Gene positions with no anchor column (insertions) stay in place while
+    holes fill (pair found by NW search: one interior hole at col 3, two
+    inserted bases mapping to -1)."""
+    cfg = PipelineConfig()
+    anchor = np.asarray([3, 2, 2, 1, 1, 0, 0, 0, 0, 3, 2, 3, 2, 2, 3, 2, 2,
+                         2, 2, 3], np.int8)
+    gseq = [3, 2, 2, 1, 0, 0, 0, 0, 3, 2, 3, 2, 2, 3, 2, 2, 0, 2, 2, 2, 3]
+    from rambl_tpu.index.colmap import _nw_map
+
+    m = _nw_map(anchor, np.asarray(gseq, np.int8))
+    assert (m == -1).sum() == 2 and 3 not in m.tolist()   # scenario holds
+    g = mk_gene(gseq, offset=0)
+    c = np.zeros((20, 4), np.int32)   # thin everywhere -> anchor fill
+    genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
+    assert changed == 1
+    s = genes[0].seq.tolist()
+    # hole col 3 filled with anchor base 1, inserted right after the col-2
+    # base; the two insertions stay in their original relative positions
+    assert s == gseq[:3] + [1] + gseq[3:]
