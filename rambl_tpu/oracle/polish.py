@@ -106,14 +106,20 @@ def anchor_seqs_of(ref_seqs: np.ndarray, ref_lens: np.ndarray,
 
 def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
                     cfg: PipelineConfig):
-    """Fill a gene's INTERIOR emit holes (module docstring). Returns
-    (gene, n_filled); the gene is unchanged when it has no holes.
+    """Canonicalize a gene into the anchor-column coordinate model (module
+    docstring). Returns (gene, n_changed); unchanged when already canonical.
 
-    A hole is an anchor column strictly between the gene's first and last
-    mapped columns with no gene base mapped to it. Fill source: the
-    leaf-exclusive pileup winner at depth >= polish_min_depth (ties -> lowest
-    base, as everywhere), else the anchor's reference base. Insertions
-    relative to the anchor (gene positions with no column) stay in place."""
+    Two defects measured by the config-4 census are repaired:
+    - INTERIOR HOLES (anchor columns strictly between the gene's first and
+      last mapped columns with no gene base): filled from the leaf-exclusive
+      pileup winner at depth >= polish_min_depth (ties -> lowest base, as
+      everywhere), else from the anchor's reference base.
+    - UNPLACEABLE BASES (gene positions the exact NW map assigns no anchor
+      column): dropped. The pipeline's entire evidence model lives in anchor
+      columns - pileups cannot support an insertion, so such bases are
+      always consensus artifacts (measured: later-round duplicated single
+      bases near panel-gene holes), and every one plants up to 2(k-1)
+      foreign k-mers."""
     from rambl_tpu.index.colmap import _nw_map
 
     ref_len = c_leaf.shape[0]
@@ -126,7 +132,8 @@ def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
     have = np.zeros(ref_len, bool)
     have[np.clip(mapped, 0, ref_len - 1)] = True
     holes = [c for c in range(first + 1, last) if not have[c] and c < A]
-    if not holes:
+    n_ins = int((gcols < 0).sum())
+    if not holes and not n_ins:
         return g, 0
     tot = c_leaf.sum(axis=1)
     top = np.argmax(c_leaf, axis=1)
@@ -136,13 +143,14 @@ def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
     hi = 0
     for i in range(g.seq.shape[0]):
         gc = int(gcols[i])
-        if gc >= 0:
-            while hi < len(holes) and holes[hi] < gc:
-                out.append(fill[holes[hi]])
-                hi += 1
+        if gc < 0:
+            continue                      # unplaceable base: drop
+        while hi < len(holes) and holes[hi] < gc:
+            out.append(fill[holes[hi]])
+            hi += 1
         out.append(int(g.seq[i]))
     seq = np.asarray(out, np.int8)
-    return dataclasses.replace(g, seq=seq), len(holes)
+    return dataclasses.replace(g, seq=seq), len(holes) + n_ins
 
 
 def apply_polish(genes: List, counts: Dict[int, np.ndarray],

@@ -133,10 +133,11 @@ def test_hole_fill_from_pileup_and_anchor():
     assert genes[0].offset == g.offset
 
 
-def test_hole_fill_preserves_insertions():
-    """Gene positions with no anchor column (insertions) stay in place while
-    holes fill (pair found by NW search: one interior hole at col 3, two
-    inserted bases mapping to -1)."""
+def test_canonicalize_drops_unplaceable_and_fills_holes():
+    """Gene positions with no anchor column (unplaceable insertions) are
+    dropped while holes fill (pair found by NW search: one interior hole at
+    col 3, two inserted bases mapping to -1): the canonical gene is exactly
+    the anchor-column projection."""
     cfg = PipelineConfig()
     anchor = np.asarray([3, 2, 2, 1, 1, 0, 0, 0, 0, 3, 2, 3, 2, 2, 3, 2, 2,
                          2, 2, 3], np.int8)
@@ -148,8 +149,8 @@ def test_hole_fill_preserves_insertions():
     g = mk_gene(gseq, offset=0)
     c = np.zeros((20, 4), np.int32)   # thin everywhere -> anchor fill
     genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
-    assert changed == 1
+    assert changed == 3               # 1 hole filled + 2 insertions dropped
     s = genes[0].seq.tolist()
-    # hole col 3 filled with anchor base 1, inserted right after the col-2
-    # base; the two insertions stay in their original relative positions
-    assert s == gseq[:3] + [1] + gseq[3:]
+    # every base now maps to a unique anchor column in order: cols 0..19
+    # (hole col 3 filled with the anchor base 1, both -1 positions gone)
+    assert s == anchor.tolist()
