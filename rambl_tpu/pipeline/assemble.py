@@ -586,6 +586,28 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
         usem = (dd[None, :] <= dl) & (dd[None, :] >= dl - cfg.bin_share_depth)
         n_mem_leaf = (rc_host[anc[leaves_all]] * usem).sum(axis=1)
         leaves = leaves_all[n_mem_leaf >= cfg.min_cluster_reads]
+        # Collapse ZERO-EXCLUSIVE duplicate leaves (config-3 measured: 8533
+        # active leaves for 500 present refs, the cluster stage at 1832s).
+        # A leaf with no reads binned AT it draws members and pileups solely
+        # from its ancestor-window nodes; leaves sharing that exact node set
+        # (and depth) are bitwise-identical clustering problems with
+        # can_seed all-false, so they emit byte-identical genes that
+        # _dedupe_cap collapses to the LOWEST leaf id anyway. Keep only that
+        # representative: output-identical (dedupe keeps first-by-leaf on
+        # ties; np.unique gives ascending ids), ~NL/4 of the cluster work.
+        excl0 = rc_host[leaves] == 0
+        if excl0.any():
+            dlv0 = tables.depth[leaves][:, None]
+            win0 = (dd[None, :] <= dlv0) & (dd[None, :] >= dlv0
+                                            - cfg.bin_share_depth)
+            ch0 = anc[leaves]
+            sig = np.where(win0 & (rc_host[ch0] > 0), ch0, -1)
+            sig = np.concatenate([np.sort(sig, axis=1),
+                                  tables.depth[leaves][:, None]], axis=1)
+            _, first_idx = np.unique(sig[excl0], axis=0, return_index=True)
+            keep = ~excl0
+            keep[np.nonzero(excl0)[0][first_idx]] = True
+            leaves = leaves[keep]
         stats0 = dict(round=round_idx,
                       aligned=int((np.asarray(rec["bins"]) >= 0).sum()),
                       n_leaves=int(leaves.size), genes=0)

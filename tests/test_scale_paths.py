@@ -137,6 +137,35 @@ def test_forced_slot_assembly_matches_oracle():
         g.key() for g in p_jx.genes)
 
 
+def test_zero_exclusive_leaf_collapse_parity():
+    """Slot-mode round 0 collapses zero-exclusive duplicate leaves (config-3:
+    8533 active leaves for 500 present refs). The collapse must be invisible
+    in the output: device genes == oracle genes (the oracle still iterates
+    every leaf) while n_leaves shrinks below the naive active count."""
+    import dataclasses
+
+    from rambl_tpu.oracle.pipeline import assemble as assemble_oracle
+    from rambl_tpu.pipeline.assemble import assemble_jax
+
+    # leaf-per-ref tree, most refs absent: their leaves activate only via
+    # shared ancestor reads (the config-3 shape in miniature)
+    ds = simulate_dataset(n_species=6, refs_per_species=4, n_reads=600,
+                          seed=7, leaf_per_ref=True, n_present=5)
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    cfg = PipelineConfig(max_assembly_iters=2, batch_size=256,
+                         pileup_slot_nodes=1, bin_share_depth=3)
+    r_np = assemble_oracle(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                           tax, cfg)
+    r_jx = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                        tax, cfg)
+    assert [g.key() for g in r_np.genes] == [g.key() for g in r_jx.genes]
+    assert [(g.n_reads, g.leaf, g.taxon) for g in r_np.genes] == \
+        [(g.n_reads, g.leaf, g.taxon) for g in r_jx.genes]
+    # the collapse engaged: fewer leaves processed than refs with active
+    # chains (24 leaves share 6 species chains; absent siblings collapse)
+    assert r_jx.round_stats[0]["n_leaves"] < ds.n_refs
+
+
 def test_huge_taxonomy_smoke():
     """Full-Greengenes-scale taxonomy (150k nodes): the dense node pileup
     would need ~5 TB, so this passing proves the slot-compacted path engages
