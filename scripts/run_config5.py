@@ -21,6 +21,8 @@ per device (parallel/steps.py RETAIN3), which is exactly the >=100M design
       [n_reads] [n_refs]
 """
 
+import os
+import pickle
 import sys
 import time
 
@@ -40,24 +42,33 @@ def main():
     n_present = 500
     t0 = time.time()
     # community/taxonomy from the config-3 generator; reads regenerated in
-    # chunks (one 50M float64 error mask would eat ~40 GB host RAM)
-    ds = simulate_dataset(
-        n_species=n_refs // 5, refs_per_species=5, n_reads=1, seed=13,
-        leaf_per_ref=True, n_present=n_present,
-    )
+    # chunks (one 50M float64 error mask would eat ~40 GB host RAM).
+    # Deterministic in (n_reads, n_refs): cache dataset + index for reruns.
+    cache = f"/tmp/config5_cache_{n_reads}_{n_refs}_seed13.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            ds, reads, lens, index = pickle.load(f)
+        print(f"loaded cached dataset+index in {time.time() - t0:.0f}s",
+              flush=True)
+    else:
+        ds = simulate_dataset(
+            n_species=n_refs // 5, refs_per_species=5, n_reads=1, seed=13,
+            leaf_per_ref=True, n_present=n_present,
+        )
+        chunk = 5_000_000
+        reads = np.empty((n_reads, 128), np.int8)
+        lens = np.empty((n_reads,), np.int32)
+        for i, lo in enumerate(range(0, n_reads, chunk)):
+            hi = min(lo + chunk, n_reads)
+            rng = np.random.default_rng(977 + 13 * i)
+            r, l, _, _, _ = _gen_reads(rng, ds.ref_seqs, ds.ref_lens,
+                                       ds.abundance, hi - lo, 100, 128,
+                                       0.004, 0.0005)
+            reads[lo:hi] = r
+            lens[lo:hi] = l
+        index = None
     tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
-    chunk = 5_000_000
-    reads = np.empty((n_reads, 128), np.int8)
-    lens = np.empty((n_reads,), np.int32)
-    for i, lo in enumerate(range(0, n_reads, chunk)):
-        hi = min(lo + chunk, n_reads)
-        rng = np.random.default_rng(977 + 13 * i)
-        r, l, _, _, _ = _gen_reads(rng, ds.ref_seqs, ds.ref_lens,
-                                   ds.abundance, hi - lo, 100, 128,
-                                   0.004, 0.0005)
-        reads[lo:hi] = r
-        lens[lo:hi] = l
-    print(f"simulated {n_reads} reads vs {ds.n_refs} refs in "
+    print(f"dataset: {n_reads} reads vs {ds.n_refs} refs in "
           f"{time.time() - t0:.0f}s", flush=True)
 
     batch = 16000 if n_reads % 16000 == 0 else 16384
@@ -66,7 +77,10 @@ def main():
                          bin_share_depth=3, cluster_leaf_block=512,
                          sw_rows=104)
     t1 = time.time()
-    index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
+    if index is None:
+        index = build_seed_index(ds.ref_seqs, ds.ref_lens, k=cfg.k)
+        with open(cache, "wb") as f:
+            pickle.dump((ds, reads, lens, index), f, protocol=4)
     print(f"index: {index.n_entries} entries, 2^{index.n_bits} buckets, "
           f"built in {time.time() - t1:.0f}s", flush=True)
 
