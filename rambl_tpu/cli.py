@@ -301,7 +301,23 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        # bad input paths / malformed inputs / config-guard violations are
+        # user errors, not crashes: clean message, nonzero exit. Set
+        # RAMBL_DEBUG=1 to get the full traceback instead.
+        if os.environ.get("RAMBL_DEBUG"):
+            raise
+        if isinstance(e, FileNotFoundError):
+            # open() raises with (errno, strerror) + filename; the native
+            # loader raises with the path as the sole arg
+            what = e.filename if e.filename else (
+                e.args[0] if len(e.args) == 1 else str(e))
+            print(f"rambl_tpu: file not found: {what}", file=sys.stderr)
+        else:
+            print(f"rambl_tpu: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -84,6 +84,19 @@ def test_cli_simulate_and_oracle_assemble(tmp_path):
     assert text.startswith(">gene0")
 
 
+def test_cli_user_errors_exit_cleanly(tmp_path, capsys):
+    """Missing inputs and config-guard violations are user errors: clean
+    one-line stderr message + exit 2, no traceback (verify-skill probe)."""
+    from rambl_tpu.cli import main
+
+    rc = main(["assemble", "--reads", str(tmp_path / "absent.fastq"),
+               "--reference", str(tmp_path / "absent.fasta"),
+               "--out", str(tmp_path / "g.fasta"), "--oracle"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "file not found" in err and "absent" in err
+
+
 def test_determinism_across_runs(small_ds, small_tax):
     """Same input -> identical panel, twice (SURVEY.md determinism)."""
     from rambl_tpu.oracle.pipeline import assemble
