@@ -300,7 +300,8 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
 
 
 @functools.lru_cache(maxsize=64)
-def make_cluster_step(mesh, cfg: PipelineConfig, slots: bool = False):
+def make_cluster_step(mesh, cfg: PipelineConfig, slots: bool = False,
+                      spawn: bool = True):
     """Leaf-sharded round-0 clustering: the EP analogue (SURVEY.md
     section 2.3 - per-taxon bins are the 'experts', sharded over the mesh for
     the per-bin DP-means/consensus phase) over the SHARDED streamed read
@@ -368,13 +369,20 @@ def make_cluster_step(mesh, cfg: PipelineConfig, slots: bool = False):
         bins_m_l = jax.lax.dynamic_slice_in_dim(bins_m, sl, nl, 0)
         leaves_l = jax.lax.dynamic_slice_in_dim(leaves, sl, nl, 0)
         M = qm.shape[1]
-        # gather-then-sort order; bitwise equal to sort-then-gather because
-        # sorted_col_base is row-independent (pipeline.cluster docstring)
-        mc, mb = sorted_col_base(qm.reshape(nl * M, L), rcm.reshape(nl * M, L))
+        if spawn:
+            # gather-then-sort order; bitwise equal to sort-then-gather
+            # because sorted_col_base is row-independent (pipeline.cluster)
+            mc, mb = sorted_col_base(qm.reshape(nl * M, L),
+                                     rcm.reshape(nl * M, L))
+            mc, mb = mc.reshape(nl, M, L), mb.reshape(nl, M, L)
+        else:
+            # light path for zero-exclusive leaves: sorted columns only feed
+            # features -> DP, both skipped (pipeline.assemble docstring)
+            mc = mb = None
         return cluster_round0_members(
-            qm, rcm, mc.reshape(nl, M, L), mb.reshape(nl, M, L), bins_m_l,
+            qm, rcm, mc, mb, bins_m_l,
             mvalid_l, counts, span_diff, read_count, leaves_l, anc_path,
-            depth, cfg, node2slot=slot_arg[0] if slots else None)
+            depth, cfg, node2slot=slot_arg[0] if slots else None, spawn=spawn)
 
     from rambl_tpu.pipeline.consensus import ConsensusOut, MinorHap
 

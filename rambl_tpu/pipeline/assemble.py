@@ -137,7 +137,8 @@ def _fill_rows(buf, val, start):
 
 def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
                            read_count, leaves, anc_path, depth,
-                           cfg: PipelineConfig, node2slot=None):
+                           cfg: PipelineConfig, node2slot=None,
+                           spawn: bool = True):
     """Round-0 clustering + consensus from pre-gathered member tensors.
 
     The post-gather half of cluster_round0_core, shared by the single-device
@@ -147,7 +148,13 @@ def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
     sorted cols / sorted bases; bins_m: (NL, M) member bin nodes; mvalid:
     (NL, M). node2slot switches the pileup accumulators to slot-compacted
     active-node space (full-Greengenes-scale taxonomies; see pipeline.pileup)
-    - bitwise identical where slots exist."""
+    - bitwise identical where slots exist.
+
+    spawn=False is the LIGHT path for leaves with no leaf-exclusive reads:
+    their can_seed mask is all-false, so DP-means provably degenerates to
+    assign-all-to-cluster-0 / kact=1 - skip features + DP entirely (and the
+    caller skips sorted_col_base: mc/mb may be None). Bitwise identical to
+    spawn=True on such leaves (tests/test_scale_paths.py)."""
     from rambl_tpu.pipeline.pileup import leaf_pileup_slots
 
     if node2slot is None:
@@ -169,18 +176,23 @@ def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
         leaf_counts, cfg.min_coverage, cfg.poly_min_minor_count,
         cfg.poly_minor_frac_num, cfg.poly_minor_frac_den, ref_len,
     )
-    cols = jnp.arange(ref_len, dtype=jnp.int32)
-    key = jnp.where(pm, cols[None, :], _BIG)
-    pol_cols = -jax.lax.top_k(-key, cfg.max_poly_cols)[0]     # ascending
-    pol_valid = pol_cols < _BIG
-    pol_cols = jnp.where(pol_valid, pol_cols, 0)
+    if spawn:
+        cols = jnp.arange(ref_len, dtype=jnp.int32)
+        key = jnp.where(pm, cols[None, :], _BIG)
+        pol_cols = -jax.lax.top_k(-key, cfg.max_poly_cols)[0]  # ascending
+        pol_valid = pol_cols < _BIG
+        pol_cols = jnp.where(pol_valid, pol_cols, 0)
 
-    feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
-    can_seed = (bins_m == leaves[:, None]) & mvalid  # leaf-exclusive only
-    dp = dp_means_leaves(feat, can_seed, cfg)
+        feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
+        can_seed = (bins_m == leaves[:, None]) & mvalid  # leaf-exclusive only
+        dp = dp_means_leaves(feat, can_seed, cfg)
+        assign, kact = dp.assign, dp.kact
+    else:
+        assign = jnp.zeros(mvalid.shape, jnp.int32)
+        kact = jnp.ones((mvalid.shape[0],), jnp.int32)
 
     cons = cluster_consensus_leaves(
-        qm, rcm, mvalid, dp.assign, pm, leaf_counts, leaf_span, cfg
+        qm, rcm, mvalid, assign, pm, leaf_counts, leaf_span, cfg
     )
     from rambl_tpu.pipeline.consensus import (
         _chain_read_count,
@@ -191,12 +203,13 @@ def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
     mh = minor_haplotype_leaves(excl_counts, leaf_counts, leaf_span, cfg)
     n_mem = _chain_read_count(read_count, leaves, anc_path, depth,
                               cfg.bin_share_depth)
-    return cons, dp.kact, n_mem, mh
+    return cons, kact, n_mem, mh
 
 
 def cluster_round0_core(query, ref_col, bins, counts, span_diff,
                         read_count, leaves, anc_path, depth,
-                        cfg: PipelineConfig, node2slot=None):
+                        cfg: PipelineConfig, node2slot=None,
+                        spawn: bool = True):
     """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
     the single-device entry - the mesh path gathers members distributedly in
     parallel.steps.make_cluster_step and joins at cluster_round0_members)."""
@@ -216,7 +229,11 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     rcm = ref_col[midx].astype(jnp.int32)
     B = bins.shape[0]
     NL, M = midx.shape
-    if B <= NL * M:
+    if not spawn:
+        # light path: sorted member columns only feed leaf_features -> DP,
+        # both skipped for zero-exclusive leaves (cluster_round0_members)
+        mc = mb = None
+    elif B <= NL * M:
         # few reads: sort every read once, gather member rows of the result
         cs_all, bs_all = sorted_col_base(query, ref_col.astype(jnp.int32))
         mc, mb = cs_all[midx], bs_all[midx]
@@ -229,12 +246,11 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
         mb = mb.reshape(NL, M, L)
     return cluster_round0_members(
         qm, rcm, mc, mb, bins[midx], mvalid, counts, span_diff, read_count,
-        leaves, anc_path, depth, cfg, node2slot=node2slot)
+        leaves, anc_path, depth, cfg, node2slot=node2slot, spawn=spawn)
 
 
-_cluster_consensus_round0 = functools.partial(jax.jit, static_argnames=("cfg",))(
-    cluster_round0_core
-)
+_cluster_consensus_round0 = functools.partial(
+    jax.jit, static_argnames=("cfg", "spawn"))(cluster_round0_core)
 
 
 
@@ -659,14 +675,16 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     blk = max(m, -(-blk // m) * m)
     bucket = min(blk, max(m, -(-NL // m) * m))
 
-    def _cluster_block(lb):
-        lp = np.concatenate([lb, np.full(bucket - lb.size, leaves[0],
+    def _cluster_block(lb, spawn):
+        lp = np.concatenate([lb, np.full(bucket - lb.size, lb[0],
                                          leaves.dtype)])
         if mesh is not None:
             from rambl_tpu.parallel.mesh import put_replicated
             from rambl_tpu.parallel.steps import make_cluster_step
 
-            cstep = make_cluster_step(mesh, cfg, slots=node2slot_d is not None)
+            cstep = make_cluster_step(mesh, cfg,
+                                      slots=node2slot_d is not None,
+                                      spawn=spawn)
             cargs = [
                 rec["query"], rec["ref_col"],        # sharded retention
                 jnp.asarray(rec["bins"]), counts, span_diff, read_count,
@@ -683,30 +701,43 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
             jnp.asarray(rec["query"]), jnp.asarray(rec["ref_col"]),
             jnp.asarray(rec["bins"]), counts, span_diff, read_count,
             jnp.asarray(lp), jnp.asarray(tables.anc_path),
-            jnp.asarray(tables.depth), cfg, node2slot_d,
+            jnp.asarray(tables.depth), cfg, node2slot_d, spawn=spawn,
         )
 
+    # SPLIT by exclusivity: leaves with no reads binned AT them have an
+    # all-false can_seed mask, so DP-means provably assigns everything to
+    # cluster 0 - they run the LIGHT path (no member sort, no features, no
+    # DP; spawn=False), bitwise identical (cluster_round0_members docstring).
+    # Results are re-merged into ascending leaf order below, so gene order
+    # (and dedupe tie-breaking) is unchanged.
+    rc_leaf = np.asarray(read_count)[leaves]
+    sets = [(leaves[rc_leaf > 0], True), (leaves[rc_leaf == 0], False)]
     parts = []
-    for s in range(0, NL, blk):
-        lb = leaves[s: s + blk]
-        cons_b, kact_b, n_mem_b, mh_b = _cluster_block(lb)
-        n = lb.size
-        parts.append((
-            [np.asarray(x)[:n] for x in cons_b],
-            np.asarray(kact_b)[:n], np.asarray(n_mem_b)[:n],
-            [np.asarray(x)[:n] for x in mh_b],
-        ))
+    proc_leaves = []
+    for lset, spawn in sets:
+        for s in range(0, lset.size, blk):
+            lb = lset[s: s + blk]
+            cons_b, kact_b, n_mem_b, mh_b = _cluster_block(lb, spawn)
+            n = lb.size
+            proc_leaves.append(lb)
+            parts.append((
+                [np.asarray(x)[:n] for x in cons_b],
+                np.asarray(kact_b)[:n], np.asarray(n_mem_b)[:n],
+                [np.asarray(x)[:n] for x in mh_b],
+            ))
     clock.mark("cluster")
     from rambl_tpu.pipeline.consensus import ConsensusOut, MinorHap
 
-    cons = ConsensusOut(*(np.concatenate([p[0][i] for p in parts])
+    leaves_proc = np.concatenate(proc_leaves) if proc_leaves else leaves
+    order = np.argsort(leaves_proc, kind="stable")   # restore ascending ids
+    cons = ConsensusOut(*(np.concatenate([p[0][i] for p in parts])[order]
                           for i in range(3)))
-    kact = np.concatenate([p[1] for p in parts])
-    n_mem = np.concatenate([p[2] for p in parts])
-    mh = MinorHap(*(np.concatenate([p[3][i] for p in parts])
+    kact = np.concatenate([p[1] for p in parts])[order]
+    n_mem = np.concatenate([p[2] for p in parts])[order]
+    mh = MinorHap(*(np.concatenate([p[3][i] for p in parts])[order]
                     for i in range(4)))
     genes = _genes_from_consensus(
-        cons.called, cons.emit, cons.n_reads, kact, leaves,
+        cons.called, cons.emit, cons.n_reads, kact, leaves_proc[order],
         n_mem, cfg, round_idx, orig_taxon_of_node, mh=mh,
     )
     stats = dict(

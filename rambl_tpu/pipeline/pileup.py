@@ -90,18 +90,23 @@ def node_pileup(
     if B > ck:
         nfull = (B // ck) * ck
 
-        def body(carry, xs):
+        # scan over chunk INDICES with dynamic_slice, not over sliced xs:
+        # `query[:nfull].reshape(...)` as a scan input materializes a copy of
+        # the whole multi-GB retention (measured: the 20M-read config-5 run
+        # OOM'd on exactly that +7.5 GB), while a per-iteration slice holds
+        # one ~64-128 MB chunk at a time
+        def body(carry, i):
             c, s = carry
-            cc, ss = _scatter_flat(*xs, n_nodes, ref_len)
+            q = jax.lax.dynamic_slice_in_dim(query, i * ck, ck, 0)
+            rc = jax.lax.dynamic_slice_in_dim(ref_col, i * ck, ck, 0)
+            b = jax.lax.dynamic_slice_in_dim(bins, i * ck, ck, 0)
+            cc, ss = _scatter_flat(q, rc, b, n_nodes, ref_len)
             return (c + cc, s + ss), None
 
         init = (jnp.zeros((n_nodes * ref_len * 4 + 1,), jnp.int32),
                 jnp.zeros((n_nodes * (ref_len + 1) + 1,), jnp.int32))
         (counts, span), _ = jax.lax.scan(
-            body, init,
-            (query[:nfull].reshape(-1, ck, L),
-             ref_col[:nfull].reshape(-1, ck, L),
-             bins[:nfull].reshape(-1, ck)))
+            body, init, jnp.arange(B // ck, dtype=jnp.int32))
         if B > nfull:
             cc, ss = _scatter_flat(query[nfull:], ref_col[nfull:],
                                    bins[nfull:], n_nodes, ref_len)
