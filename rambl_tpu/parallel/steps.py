@@ -326,11 +326,7 @@ def make_cluster_step(mesh, cfg: PipelineConfig, slots: bool = False,
     Outputs (ConsensusOut, kact, n_mem, MinorHap) sharded over their leaf dim.
     """
     from rambl_tpu.pipeline.assemble import cluster_round0_members
-    from rambl_tpu.pipeline.cluster import (
-        bin_sort,
-        member_table_ranges,
-        sorted_col_base,
-    )
+    from rambl_tpu.pipeline.cluster import bin_sort, member_table_ranges
 
     n_dev = mesh.devices.size
 
@@ -368,19 +364,8 @@ def make_cluster_step(mesh, cfg: PipelineConfig, slots: bool = False,
         mvalid_l = jax.lax.dynamic_slice_in_dim(mvalid, sl, nl, 0)
         bins_m_l = jax.lax.dynamic_slice_in_dim(bins_m, sl, nl, 0)
         leaves_l = jax.lax.dynamic_slice_in_dim(leaves, sl, nl, 0)
-        M = qm.shape[1]
-        if spawn:
-            # gather-then-sort order; bitwise equal to sort-then-gather
-            # because sorted_col_base is row-independent (pipeline.cluster)
-            mc, mb = sorted_col_base(qm.reshape(nl * M, L),
-                                     rcm.reshape(nl * M, L))
-            mc, mb = mc.reshape(nl, M, L), mb.reshape(nl, M, L)
-        else:
-            # light path for zero-exclusive leaves: sorted columns only feed
-            # features -> DP, both skipped (pipeline.assemble docstring)
-            mc = mb = None
         return cluster_round0_members(
-            qm, rcm, mc, mb, bins_m_l,
+            qm, rcm, bins_m_l,
             mvalid_l, counts, span_diff, read_count, leaves_l, anc_path,
             depth, cfg, node2slot=slot_arg[0] if slots else None, spawn=spawn)
 

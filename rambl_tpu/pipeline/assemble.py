@@ -34,9 +34,9 @@ from rambl_tpu.ops.seed import SeedTable
 from rambl_tpu.pipeline.align import align_batch
 from rambl_tpu.pipeline.binning import bin_batch
 from rambl_tpu.pipeline.cluster import (
+    bin_sort,
     dp_means_leaves,
-    leaf_features,
-    sorted_col_base,
+    leaf_features_dense,
 )
 from rambl_tpu.pipeline.consensus import cluster_consensus_leaves
 from rambl_tpu.pipeline.pileup import (
@@ -135,7 +135,7 @@ def _fill_rows(buf, val, start):
         buf, val, (start,) + (0,) * (buf.ndim - 1))
 
 
-def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
+def cluster_round0_members(qm, rcm, bins_m, mvalid, counts, span_diff,
                            read_count, leaves, anc_path, depth,
                            cfg: PipelineConfig, node2slot=None,
                            spawn: bool = True):
@@ -144,17 +144,18 @@ def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
     The post-gather half of cluster_round0_core, shared by the single-device
     path (local gather) and the mesh cluster step (distributed masked-gather
     + psum over the sharded read retention; parallel.steps.make_cluster_step).
-    qm/rcm/mc/mb: (NL, M, L) member query codes / projected columns (int32) /
-    sorted cols / sorted bases; bins_m: (NL, M) member bin nodes; mvalid:
-    (NL, M). node2slot switches the pileup accumulators to slot-compacted
-    active-node space (full-Greengenes-scale taxonomies; see pipeline.pileup)
-    - bitwise identical where slots exist.
+    qm/rcm: (NL, M, L) member query codes / projected columns (int32);
+    bins_m: (NL, M) member bin nodes; mvalid: (NL, M). node2slot switches
+    the pileup accumulators to slot-compacted active-node space
+    (full-Greengenes-scale taxonomies; see pipeline.pileup) - bitwise
+    identical where slots exist. Features come from the dense scatter+matmul
+    featurizer (cluster.leaf_features_dense - the sorted+searchsorted
+    formulation cost 70s of an 84s config-3 block on chip).
 
     spawn=False is the LIGHT path for leaves with no leaf-exclusive reads:
     their can_seed mask is all-false, so DP-means provably degenerates to
-    assign-all-to-cluster-0 / kact=1 - skip features + DP entirely (and the
-    caller skips sorted_col_base: mc/mb may be None). Bitwise identical to
-    spawn=True on such leaves (tests/test_scale_paths.py)."""
+    assign-all-to-cluster-0 / kact=1 - skip features + DP entirely. Bitwise
+    identical to spawn=True on such leaves (tests/test_scale_paths.py)."""
     from rambl_tpu.pipeline.pileup import leaf_pileup_slots
 
     if node2slot is None:
@@ -183,7 +184,8 @@ def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
         pol_valid = pol_cols < _BIG
         pol_cols = jnp.where(pol_valid, pol_cols, 0)
 
-        feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
+        feat = leaf_features_dense(qm, rcm, mvalid, pol_cols, pol_valid,
+                                   ref_len)
         can_seed = (bins_m == leaves[:, None]) & mvalid  # leaf-exclusive only
         dp = dp_means_leaves(feat, can_seed, cfg)
         assign, kact = dp.assign, dp.kact
@@ -209,16 +211,23 @@ def cluster_round0_members(qm, rcm, mc, mb, bins_m, mvalid, counts, span_diff,
 def cluster_round0_core(query, ref_col, bins, counts, span_diff,
                         read_count, leaves, anc_path, depth,
                         cfg: PipelineConfig, node2slot=None,
-                        spawn: bool = True):
+                        spawn: bool = True, bin_ranges=None):
     """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
     the single-device entry - the mesh path gathers members distributedly in
-    parallel.steps.make_cluster_step and joins at cluster_round0_members)."""
+    parallel.steps.make_cluster_step and joins at cluster_round0_members).
+
+    bin_ranges: optional precomputed (order, node_start, node_end) from
+    cluster.bin_sort - the driver hoists the 10M-read argsort out of the
+    per-block loop (measured 1.4s per block at config-3 scale)."""
     # range-based membership (O(NL*D*M), not O(NL*B)): bit-identical to the
     # dense member_table (tests/test_scale_paths.py); width capped at B so
     # small runs keep their dense-era shapes
     from rambl_tpu.pipeline.cluster import bin_sort, member_table_ranges
 
-    order, nstart, nend = bin_sort(bins, anc_path.shape[0])
+    if bin_ranges is None:
+        order, nstart, nend = bin_sort(bins, anc_path.shape[0])
+    else:
+        order, nstart, nend = bin_ranges
     midx, mvalid = member_table_ranges(
         order, nstart, nend, leaves, anc_path, depth,
         min(cfg.max_bin_reads, bins.shape[0]), cfg.bin_share_depth)
@@ -227,30 +236,15 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     # materializes in int32 (config-3: 10M reads x 128 cols)
     qm = query[midx]                                     # (NL, M, L)
     rcm = ref_col[midx].astype(jnp.int32)
-    B = bins.shape[0]
-    NL, M = midx.shape
-    if not spawn:
-        # light path: sorted member columns only feed leaf_features -> DP,
-        # both skipped for zero-exclusive leaves (cluster_round0_members)
-        mc = mb = None
-    elif B <= NL * M:
-        # few reads: sort every read once, gather member rows of the result
-        cs_all, bs_all = sorted_col_base(query, ref_col.astype(jnp.int32))
-        mc, mb = cs_all[midx], bs_all[midx]
-    else:
-        # config-3/5 scale: sort only the gathered member rows (B >> NL*M).
-        # sorted_col_base is row-independent, so both orders are bitwise equal
-        L = query.shape[1]
-        mc, mb = sorted_col_base(qm.reshape(NL * M, L), rcm.reshape(NL * M, L))
-        mc = mc.reshape(NL, M, L)
-        mb = mb.reshape(NL, M, L)
     return cluster_round0_members(
-        qm, rcm, mc, mb, bins[midx], mvalid, counts, span_diff, read_count,
+        qm, rcm, bins[midx], mvalid, counts, span_diff, read_count,
         leaves, anc_path, depth, cfg, node2slot=node2slot, spawn=spawn)
 
 
 _cluster_consensus_round0 = functools.partial(
     jax.jit, static_argnames=("cfg", "spawn"))(cluster_round0_core)
+_bin_sort_jit = functools.partial(
+    jax.jit, static_argnames=("n_nodes",))(bin_sort)
 
 
 
@@ -702,6 +696,7 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
             jnp.asarray(rec["bins"]), counts, span_diff, read_count,
             jnp.asarray(lp), jnp.asarray(tables.anc_path),
             jnp.asarray(tables.depth), cfg, node2slot_d, spawn=spawn,
+            bin_ranges=bin_ranges,
         )
 
     # SPLIT by exclusivity: leaves with no reads binned AT them have an
@@ -712,6 +707,9 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     # (and dedupe tie-breaking) is unchanged.
     rc_leaf = np.asarray(read_count)[leaves]
     sets = [(leaves[rc_leaf > 0], True), (leaves[rc_leaf == 0], False)]
+    # hoist the B-read argsort out of the block loop (1.4s/block measured)
+    bin_ranges = (None if mesh is not None else
+                  _bin_sort_jit(jnp.asarray(rec["bins"]), tables.n_nodes))
     parts = []
     proc_leaves = []
     for lset, spawn in sets:

@@ -82,9 +82,8 @@ def main():
     from rambl_tpu.pipeline.cluster import (
         bin_sort,
         dp_means_leaves,
-        leaf_features,
+        leaf_features_dense,
         member_table_ranges,
-        sorted_col_base,
     )
 
     f_binsort = jax.jit(functools.partial(bin_sort, n_nodes=n_nodes))
@@ -98,13 +97,6 @@ def main():
 
     qm, rcm, midx, mvalid = timeit("member_gather", f_members, order, ns, ne,
                                    leaves, query, ref_col)
-
-    @jax.jit
-    def f_sort(qm, rcm):
-        mc, mb = sorted_col_base(qm.reshape(NL * M, L), rcm.reshape(NL * M, L))
-        return mc.reshape(NL, M, L), mb.reshape(NL, M, L)
-
-    mc, mb = timeit("sort_cols", f_sort, qm, rcm)
 
     # slot accumulators like config 3 (n_slots ~ 4864)
     n_slots = 4864
@@ -121,7 +113,7 @@ def main():
     from rambl_tpu.pipeline.pileup import leaf_pileup_slots, polymorphic_mask
 
     @jax.jit
-    def f_pf(counts, span, leaves, mc, mb, mvalid):
+    def f_pf(counts, span, leaves, qm, rcm, mvalid):
         lc, lsp = leaf_pileup_slots(counts, span, node2slot, leaves, anc,
                                     depth, cfg.bin_share_depth)
         pm = polymorphic_mask(lc, cfg.min_coverage, cfg.poly_min_minor_count,
@@ -132,11 +124,12 @@ def main():
         pol_cols = -jax.lax.top_k(-key, cfg.max_poly_cols)[0]
         pol_valid = pol_cols < (1 << 30)
         pol_cols = jnp.where(pol_valid, pol_cols, 0)
-        feat = leaf_features(mc, mb, mvalid, pol_cols, pol_valid)
+        feat = leaf_features_dense(qm, rcm, mvalid, pol_cols, pol_valid,
+                                   ref_len)
         return lc, lsp, pm, feat
 
     lc, lsp, pm, feat = timeit("pileup_feat", f_pf, counts, span, leaves,
-                               mc, mb, mvalid)
+                               qm, rcm, mvalid)
 
     can_seed = (bins[midx] == leaves[:, None]) & mvalid
     f_dp = jax.jit(functools.partial(dp_means_leaves, cfg=cfg))

@@ -59,8 +59,10 @@ def main():
     # batch divides n_reads when possible (no pad tail -> no retention slice)
     batch = 16000 if n_reads % 16000 == 0 else 16384
     # max_genes > n_present: 500 present refs saturated 256 slots in the
-    # first r3 run (recovery capped at 129/500 by the panel cap alone)
-    cfg = PipelineConfig(batch_size=batch, max_genes=1024,
+    # first r3 run (recovery capped at 129/500 by the panel cap alone); the
+    # r4 run saturated 1024 too (396/500) - RAMBL_MAX_GENES overrides
+    max_genes = int(os.environ.get("RAMBL_MAX_GENES", "1024"))
+    cfg = PipelineConfig(batch_size=batch, max_genes=max_genes,
                          max_clusters_per_bin=16, max_assembly_iters=4,
                          bin_share_depth=3, cluster_leaf_block=512,
                          sw_rows=104)
