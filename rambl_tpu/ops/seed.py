@@ -283,13 +283,29 @@ def gather_windows_jax(ref_seqs, cand_ref, cand_wstart, W: int,
     return jnp.where(in_range, g, jnp.int8(4))
 
 
+def roll_rows(x, shift):
+    """Left-roll each row of (B, L) by its own shift (mod L) with a barrel
+    shifter: log2(L) masked STATIC rolls instead of a per-row dynamic
+    gather - take_along_axis on (B, L) costs ~11 ms device per call at
+    B=8192 (Mosaic lowers per-lane dynamic indexing to mask loops), the
+    barrel is a handful of vector selects."""
+    L = x.shape[1]
+    s = shift.astype(jnp.int32)
+    sh = 1
+    while sh < L:
+        x = jnp.where((s & sh)[:, None] != 0, jnp.roll(x, -sh, axis=1), x)
+        sh <<= 1
+    return x
+
+
 def revcomp_jax(reads, read_lens):
-    """Batched reverse-complement keeping right padding, matches io.pack."""
-    comp = jnp.array([3, 2, 1, 0, 4], jnp.int8)
+    """Batched reverse-complement keeping right padding, matches io.pack.
+
+    Complement is pure arithmetic (3 - code for ACGT, everything else -> 4,
+    as the old 5-entry table with clipped indexing mapped it); the per-row
+    reversal is a static flip + barrel roll by (L - len) (roll_rows)."""
     B, L = reads.shape
-    c = comp[reads]
-    # reverse within each row's own length: out[i] = c[len-1-i] for i < len
-    idx = read_lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
-    ok = idx >= 0
-    out = jnp.take_along_axis(c, jnp.clip(idx, 0, L - 1), axis=1)
+    c = jnp.where(reads < 4, 3 - reads, jnp.int8(4)).astype(jnp.int8)
+    out = roll_rows(c[:, ::-1], L - read_lens)
+    ok = jnp.arange(L, dtype=jnp.int32)[None, :] < read_lens[:, None]
     return jnp.where(ok, out, jnp.int8(4))

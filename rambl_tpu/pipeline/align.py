@@ -176,8 +176,14 @@ def align_from_candidates(
 
     kk = jnp.arange(L, dtype=jnp.int32)
     kmax = jnp.minimum(ie, je)                              # (B,)
-    qi = jnp.take_along_axis(qb, jnp.clip(ie[:, None] - 1 - kk, 0, L - 1), axis=1)
-    wj = jnp.take_along_axis(wb, jnp.clip(je[:, None] - 1 - kk, 0, W - 1), axis=1)
+    # qi[k] = qb[ie-1-k] (and wj[k] = wb[je-1-k]) via static flip + barrel
+    # roll: per-row take_along_axis cost ~11 ms device per call at B=8192
+    # (ops/seed.roll_rows). Indices wrap mod L/W where the old clip clamped;
+    # both regions lie at kk >= kmax and are masked to neg_inf below.
+    from rambl_tpu.ops.seed import roll_rows
+
+    qi = roll_rows(qb[:, ::-1], L - ie)
+    wj = roll_rows(wb[:, ::-1], W - je)[:, :L]
     sub = jnp.where(
         (qi == wj) & (qi < 4) & (wj < 4), sc.match, sc.mismatch
     ).astype(jnp.int32)
