@@ -196,48 +196,56 @@ def _gather_windows_twolevel(ref_seqs, cand_ref, cand_wstart, W: int,
                              cfg: PipelineConfig):
     """Scale-proof on-grid window gather (BASELINE config 3/5 index sizes).
 
-    Level 1: ONE contiguous-row gather of each candidate's full padded
-    reference row (row gathers are fast on TPU; element gathers are
-    catastrophic - scripts/bench_gather_variants.py). Level 2: the window
-    start is on the diag_bin grid, so select it with a coarse/fine
-    shift-reduction over static slices (pure vector selects, no gather):
-    coarse picks among ceil(nd/8) 128-col-aligned slices, fine among 8
-    diag_bin shifts. Traffic ~ N*(272*ncc/18-ish + W) bytes instead of an
-    R*nd*W table; holds only the (R, RLpad) padded panel. Bit-identical to
-    the strided table (same padded array, same on-grid starts)."""
+    The padded reference panel is viewed as 128-col chunks
+    ((R * n_chunk_cols, 128) after one reshape); each candidate window spans
+    at most `span` consecutive chunks, so level 1 is ONE contiguous-row
+    gather of those chunk rows (row gathers are fast on TPU; element gathers
+    are catastrophic - scripts/bench_gather_variants.py) and level 2 selects
+    the window among the 128/diag_bin possible in-chunk offsets with static
+    masked slices (the window start is on the diag_bin grid). Traffic is
+    ~N * span * 128 bytes gathered + 8 select passes over (N, W) - the
+    previous formulation's coarse stage was ~18 masked passes over the
+    FULL (N, 281) sub-rows plus an (N, RLpad) row gather, which dominated
+    config-3 round-0 align (~390s vs ~130s panel rounds). Bit-identical to
+    the strided table (same padded array, same on-grid starts;
+    tests/test_ops_parity.py::test_gather_windows_twolevel_parity)."""
     R, RL = ref_seqs.shape
     nd = cfg.n_diag_bins
     db = cfg.diag_bin
     s0 = -cfg.read_len_max + db // 2 - cfg.window_margin
-    fine_n = 8                      # fine shifts per coarse block
-    blk = fine_n * db               # coarse stride (128 cols for db=16)
-    sub_w = (fine_n - 1) * db + W   # coarse slice width covering all fines
-    ncc = -(-nd // fine_n)
+    CH = 128                         # lane-width chunks
+    fine_n = CH // db                # in-chunk grid offsets (8 for db=16)
+    span = -(-((CH - db) + W) // CH)       # chunks covering any window
 
     pad_lo = max(0, -s0)
-    pad_hi = max(max(0, (nd - 1) * db + s0 + W - RL),
-                 (ncc - 1) * blk + s0 + sub_w - RL)
+    # pad high enough that the last window's chunk span stays in range
+    off_max = pad_lo + s0 + (nd - 1) * db
+    need = (off_max // CH + span) * CH
+    pad_hi = max(0, need - (pad_lo + RL), (nd - 1) * db + s0 + W - RL)
+    rlpad = pad_lo + RL + pad_hi
+    if rlpad % CH:
+        pad_hi += CH - rlpad % CH
+        rlpad = pad_lo + RL + pad_hi
     padded = jnp.concatenate([
         jnp.full((R, pad_lo), 4, jnp.int8), ref_seqs,
         jnp.full((R, pad_hi), 4, jnp.int8)], axis=1)
+    nchunks = rlpad // CH
+    tbl = padded.reshape(R * nchunks, CH)
 
     shape = cand_ref.shape
     flat_ref = jnp.clip(cand_ref, 0, R - 1).reshape(-1)
     idx = jnp.clip((cand_wstart - s0) // db, 0, nd - 1).reshape(-1)
-    rows = jnp.take(padded, flat_ref, axis=0)            # (N, RLpad)
-
-    coarse = idx // fine_n
-    fine = idx % fine_n
-    N = rows.shape[0]
-    sub = jnp.zeros((N, sub_w), jnp.int8)
-    for c in range(ncc):
-        base = pad_lo + s0 + c * blk
-        sub = sub + jnp.where((coarse == c)[:, None],
-                              rows[:, base: base + sub_w], 0)
-    out = jnp.zeros((N, W), jnp.int8)
+    off = pad_lo + s0 + idx * db                          # absolute start
+    c0 = off // CH
+    fine = (off % CH) // db                               # 0..fine_n-1
+    base = flat_ref * nchunks + c0                        # (N,)
+    g = jnp.take(tbl, base[:, None] + jnp.arange(span, dtype=jnp.int32),
+                 axis=0)                                  # (N, span, CH)
+    g = g.reshape(-1, span * CH)
+    out = jnp.zeros((g.shape[0], W), jnp.int8)
     for f in range(fine_n):
         out = out + jnp.where((fine == f)[:, None],
-                              sub[:, f * db: f * db + W], 0)
+                              g[:, f * db: f * db + W], 0)
     return out.reshape(shape + (W,))
 
 

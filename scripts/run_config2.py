@@ -27,7 +27,8 @@ def main():
           f"{time.time() - t0:.0f}s", flush=True)
 
     cfg = PipelineConfig(batch_size=16384, max_genes=128,
-                         max_clusters_per_bin=8, max_assembly_iters=4)
+                         max_clusters_per_bin=8, max_assembly_iters=4,
+                         sw_rows=104)
     t1 = time.time()
     res = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
                        tax, cfg)
