@@ -26,7 +26,11 @@ def main():
     print(f"simulated {n_reads} reads vs {ds.n_refs} refs in "
           f"{time.time() - t0:.0f}s", flush=True)
 
-    cfg = PipelineConfig(batch_size=16384, max_genes=128,
+    import os
+
+    # 100 refs x (variant + minorhap) genes saturate 128 (recovery-capped)
+    max_genes = int(os.environ.get("RAMBL_MAX_GENES", "256"))
+    cfg = PipelineConfig(batch_size=16384, max_genes=max_genes,
                          max_clusters_per_bin=8, max_assembly_iters=4,
                          sw_rows=104)
     t1 = time.time()
