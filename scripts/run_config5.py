@@ -21,12 +21,16 @@ per device (parallel/steps.py RETAIN3), which is exactly the >=100M design
       [n_reads] [n_refs]
 """
 
+import faulthandler
 import os
 import pickle
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 from rambl_tpu.config import PipelineConfig
 from rambl_tpu.data.simulate import _gen_reads, simulate_dataset
