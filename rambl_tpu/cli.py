@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from rambl_tpu.utils.errors import UserError
 from rambl_tpu.config import PRESETS, PipelineConfig
 from rambl_tpu.io.fasta import read_fasta, read_fastq, write_fasta, write_fastq
 from rambl_tpu.io.pack import decode_seq, encode_batch
@@ -303,10 +304,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     try:
         return args.fn(args)
-    except (FileNotFoundError, ValueError) as e:
+    except (FileNotFoundError, UserError) as e:
         # bad input paths / malformed inputs / config-guard violations are
-        # user errors, not crashes: clean message, nonzero exit. Set
-        # RAMBL_DEBUG=1 to get the full traceback instead.
+        # user errors, not crashes: clean message, nonzero exit; any OTHER
+        # exception (incl. bare ValueError from internal shape logic)
+        # propagates as a crash with its traceback (ADVICE r4). Set
+        # RAMBL_DEBUG=1 to get the full traceback here too.
         if os.environ.get("RAMBL_DEBUG"):
             raise
         if isinstance(e, FileNotFoundError):

@@ -15,6 +15,8 @@ import gzip
 import io
 from typing import Iterator, List, Sequence, Tuple
 
+from rambl_tpu.utils.errors import UserError
+
 
 def _open(path: str, mode: str = "rt"):
     if str(path).endswith(".gz"):
@@ -64,11 +66,11 @@ def read_fastq(path: str) -> List[Tuple[str, str, str]]:
             if not h:
                 continue
             if not h.startswith("@"):
-                raise ValueError(f"bad FASTQ header: {h!r}")
+                raise UserError(f"bad FASTQ header: {h!r}")
             seq = f.readline().strip().upper()
             plus = f.readline()
             if not plus.startswith("+"):
-                raise ValueError("bad FASTQ separator line")
+                raise UserError("bad FASTQ separator line")
             qual = f.readline().strip()
             out.append((h[1:].split()[0], seq, qual))
     return out

@@ -17,6 +17,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from rambl_tpu.utils.errors import UserError
+
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native", "librambl_loader.so",
@@ -88,7 +90,7 @@ def load_fastq_codes(path: str, lmax: int) -> Tuple[np.ndarray, np.ndarray]:
     lens = np.zeros((n,), np.int32)
     got = lib.rambl_fastq_parse(path.encode(), codes, lens, n, lmax)
     if got < 0:
-        raise ValueError(f"malformed FASTQ: {path}")
+        raise UserError(f"malformed FASTQ: {path}")
     return codes[:got], lens[:got]
 
 
@@ -108,7 +110,7 @@ def load_fasta_codes(path: str, lmax: int) -> Tuple[np.ndarray, np.ndarray]:
     lens = np.zeros((n,), np.int32)
     got = lib.rambl_fasta_parse(path.encode(), codes, lens, n, lmax)
     if got < 0:
-        raise ValueError(f"malformed FASTA: {path}")
+        raise UserError(f"malformed FASTA: {path}")
     return codes[:got], lens[:got]
 
 

@@ -42,9 +42,12 @@ def build_ring_shards(index: SeedIndex, n_shards: int):
 
     Returns dict of stacked arrays with leading dim n_shards:
       bucket_start (n_shards, P/n + 1) ABSOLUTE offsets,
-      entry_key/entry_ref/entry_pos (n_shards, Emax) padded with key -1.
+      entries (n_shards, rows, 128) packed chunk rows (ops.seed.pack_entries
+      layout; pad slots carry key -1), rows common across shards.
     Feed shard s to device s (shard_map in_specs P('data') splits dim 0).
     """
+    from rambl_tpu.ops.seed import _ENTRIES_PER_ROW, pack_entries
+
     P = index.n_buckets
     Pn = -(-P // n_shards)  # ceil; trailing shards may be padded with empty
     slices = []
@@ -56,17 +59,17 @@ def build_ring_shards(index: SeedIndex, n_shards: int):
         hi_e = int(index.bucket_start[hi_b])
         emax = max(emax, hi_e - lo_e)
         slices.append((lo_b, hi_b, lo_e, hi_e))
+    rows = -(-emax // _ENTRIES_PER_ROW)
     bs = np.zeros((n_shards, Pn + 1), np.int32)
-    ent = np.full((n_shards, emax, 4), -1, np.int32)
+    ent = np.full((n_shards, rows, 128), -1, np.int32)
     for s, (lo_b, hi_b, lo_e, hi_e) in enumerate(slices):
         seg = index.bucket_start[lo_b : hi_b + 1]
         bs[s, : seg.shape[0]] = seg
         bs[s, seg.shape[0] :] = seg[-1] if seg.size else 0  # empty pad buckets
-        n = hi_e - lo_e
-        ent[s, :n, 0] = index.entry_key[lo_e:hi_e]
-        ent[s, :n, 1] = index.entry_ref[lo_e:hi_e]
-        ent[s, :n, 2] = index.entry_pos[lo_e:hi_e]
-        ent[s, :n, 3] = 0
+        packed = pack_entries(index.entry_key[lo_e:hi_e],
+                              index.entry_ref[lo_e:hi_e],
+                              index.entry_pos[lo_e:hi_e])
+        ent[s, : packed.shape[0]] = packed
     return dict(bucket_start=bs, entries=ent)
 
 
@@ -94,8 +97,10 @@ def _ring_probe(keys, valid, bucket_start, entries,
         bs, ent = ring_rotate((bs, ent), DATA_AXIS, impl=cfg.ring_impl)
         return (bs, ent, ckey)
 
-    cap = cfg.bucket_cap
-    ckey0 = jnp.full(keys.shape + (cap,), BIGK, jnp.int32)
+    from rambl_tpu.ops.seed import probe_slots
+
+    slots = probe_slots(cfg, entries.shape)
+    ckey0 = jnp.full(keys.shape + (slots,), BIGK, jnp.int32)
     state = jax.lax.fori_loop(0, n, body, (bucket_start, entries, ckey0))
     return state[2]
 

@@ -77,7 +77,9 @@ def check_sw_rows(read_lens, cfg: PipelineConfig) -> None:
         return
     ml = int(jnp.max(read_lens)) if read_lens.size else 0
     if ml > cfg.sw_rows:
-        raise ValueError(
+        from rambl_tpu.utils.errors import UserError
+
+        raise UserError(
             f"cfg.sw_rows={cfg.sw_rows} < longest read {ml}: the truncated "
             "SW wavefront is only exact when every real read fits "
             "(ops/sw_pallas.py)")

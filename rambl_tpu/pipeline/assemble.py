@@ -277,7 +277,9 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     (integer scatter-adds commute; tests/test_distributed.py).
     """
     if cfg.sw_rows and int(np.max(lens, initial=0)) > cfg.sw_rows:
-        raise ValueError(
+        from rambl_tpu.utils.errors import UserError
+
+        raise UserError(
             f"cfg.sw_rows={cfg.sw_rows} < longest read "
             f"{int(np.max(lens))}: the truncated SW wavefront is only exact "
             "when every real read fits (ops/sw_pallas.py)")
@@ -288,13 +290,13 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     from rambl_tpu.index.colmap import build_col_maps
 
     table = SeedTable.from_index(index)
-    # pad the entry array to a bucket multiple: pad rows (key -1) sit beyond
-    # every CSR bucket range and are never scanned, so rounds with drifting
-    # index sizes share one compiled executable
-    ne = table.entries.shape[0]
-    nb_pad = max(4096, -(-ne // 65536) * 65536)
-    if nb_pad != ne:
-        pad = jnp.full((nb_pad - ne, 4), -1, jnp.int32)
+    # pad the entry chunk rows to a bucket multiple: pad rows (all -1) sit
+    # beyond every CSR bucket range and are never scanned, so rounds with
+    # drifting index sizes share one compiled executable
+    nr = table.entries.shape[0]
+    nr_pad = max(4096 // 32, -(-nr // 2048) * 2048)
+    if nr_pad != nr:
+        pad = jnp.full((nr_pad - nr, 128), -1, jnp.int32)
         table = table._replace(entries=jnp.concatenate([table.entries, pad]))
     ref_seqs_d = jnp.asarray(ref_seqs)
     anc = jnp.asarray(tables.anc_path)
@@ -367,13 +369,18 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
 
 
 def _pad_entry_rows(ent, bucket=65536):
-    """Pad packed entry rows (key -1 = inert) to a bucket multiple along the
-    entry axis so rounds with drifting index sizes share one executable."""
-    ne = ent.shape[-2]
-    target = max(4096, -(-ne // bucket) * bucket)
-    if target == ne:
+    """Pad packed entry CHUNK ROWS (ops.seed.pack_entries (rows, 128)
+    layout; all -1 = inert, pad keys never match) to a bucket-of-entries
+    multiple along the row axis so rounds with drifting index sizes share
+    one executable."""
+    from rambl_tpu.ops.seed import _ENTRIES_PER_ROW
+
+    rb = max(1, bucket // _ENTRIES_PER_ROW)
+    nr = ent.shape[-2]
+    target = max(4096 // _ENTRIES_PER_ROW, -(-nr // rb) * rb)
+    if target == nr:
         return ent
-    pad_shape = ent.shape[:-2] + (target - ne, 4)
+    pad_shape = ent.shape[:-2] + (target - nr, 128)
     return np.concatenate(
         [np.asarray(ent), np.full(pad_shape, -1, np.int32)], axis=-2)
 
@@ -410,7 +417,9 @@ def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
 
     n_dev = mesh.devices.size
     if cfg.batch_size % n_dev != 0:
-        raise ValueError(
+        from rambl_tpu.utils.errors import UserError
+
+        raise UserError(
             f"batch_size {cfg.batch_size} must divide the {n_dev}-device mesh")
 
     if cfg.shard_index:
@@ -494,13 +503,11 @@ def _stream_align_mesh(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
 
 
 def pack_entries_np(index):
-    """Packed (n, 4) int32 entry rows from a SeedIndex (host side)."""
-    n = index.entry_key.shape[0]
-    out = np.zeros((n, 4), np.int32)
-    out[:, 0] = index.entry_key
-    out[:, 1] = index.entry_ref
-    out[:, 2] = index.entry_pos
-    return out
+    """Packed (rows, 128) int32 entry chunk rows from a SeedIndex (host
+    side; ops.seed.pack_entries layout)."""
+    from rambl_tpu.ops.seed import pack_entries
+
+    return pack_entries(index.entry_key, index.entry_ref, index.entry_pos)
 
 
 def _genes_from_consensus(called, emit, nk, kact, leaves, n_mem, cfg,
@@ -909,7 +916,7 @@ def assemble_cohort(samples, ref_seqs, ref_lens, tables: TaxonomyTables,
 def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
                  cfg: PipelineConfig, shared_index=None, initial_panel=None,
                  mesh=None, checkpoint_path=None, aux_out=None,
-                 col_maps=None):
+                 col_maps=None, initial_aux=None):
     """Device version of oracle.pipeline.assemble (same convergence loop:
     every round is a full discovery round; the panel maps genes back to
     their provenance taxa - see oracle.pipeline.panel_tables).
@@ -925,7 +932,11 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
     aux_out, if a dict, receives the retained round-0 pileup accumulators
     ("node_counts" dense or "slot_counts") for callers that need the
     leaf-exclusive evidence again (cohort covariation phasing); empty on
-    resumed runs (the discovery round was skipped)."""
+    resumed runs (the discovery round was skipped) unless initial_aux
+    restores them.
+    initial_aux: round-0 evidence restored from the checkpoint sidecar
+    (utils.checkpoint.load_aux_evidence) - a resumed run's polish then skips
+    the round-0 re-stream, bitwise unchanged (tests/test_faults.py)."""
     from rambl_tpu.oracle.pipeline import (
         AssemblyResult,
         pad_panel,
@@ -947,10 +958,17 @@ def assemble_jax(reads, lens, ref_seqs, ref_lens, tables: TaxonomyTables,
         )
         round_stats.append(stats)
         _ckpt(genes, 0, round_stats)
+        if checkpoint_path and aux:
+            from rambl_tpu.utils.checkpoint import save_aux_evidence
+
+            save_aux_evidence(checkpoint_path + ".aux", cfg, aux)
     else:
         genes = list(initial_panel)
-        aux = None  # resumed: polish recomputes round-0 pileups
-        round_stats.append(dict(round=0, resumed=True, genes=len(genes)))
+        # resumed: reuse checkpointed round-0 evidence when provided, else
+        # polish re-streams round 0 bit-identically
+        aux = dict(initial_aux) if initial_aux else None
+        round_stats.append(dict(round=0, resumed=True, genes=len(genes),
+                                aux_restored=bool(initial_aux)))
     seen = {tuple(sorted(g.key() for g in genes))}
     converged = False
     for it in range(1, cfg.max_assembly_iters):

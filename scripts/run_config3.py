@@ -37,8 +37,13 @@ def main():
     n_refs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     n_present = 500
     # dataset + index cache: simulation (~10 min) and index build (~5 min)
-    # are deterministic in (n_reads, n_refs, seed) - skip them on reruns
-    cache = f"/tmp/config3_cache_{n_reads}_{n_refs}_seed13.pkl"
+    # are deterministic in (n_reads, n_refs, seed, k, generator version) -
+    # skip them on reruns. k + a version tag are part of the key (ADVICE r4:
+    # a later change to k or simulate_dataset must not silently reuse a
+    # stale index); bump _GEN_V when the simulator changes.
+    _GEN_V = 2
+    cache = (f"/tmp/config3_cache_{n_reads}_{n_refs}"
+             f"_k{PipelineConfig().k}_v{_GEN_V}_seed13.pkl")
     t0 = time.time()
     if os.path.exists(cache):
         with open(cache, "rb") as f:

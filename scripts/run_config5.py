@@ -47,8 +47,12 @@ def main():
     t0 = time.time()
     # community/taxonomy from the config-3 generator; reads regenerated in
     # chunks (one 50M float64 error mask would eat ~40 GB host RAM).
-    # Deterministic in (n_reads, n_refs): cache dataset + index for reruns.
-    cache = f"/tmp/config5_cache_{n_reads}_{n_refs}_seed13.pkl"
+    # Deterministic in (n_reads, n_refs, k, generator version): cache
+    # dataset + index for reruns (key includes k + a version tag per
+    # ADVICE r4; bump _GEN_V when the simulator changes).
+    _GEN_V = 2
+    cache = (f"/tmp/config5_cache_{n_reads}_{n_refs}"
+             f"_k{PipelineConfig().k}_v{_GEN_V}_seed13.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             ds, reads, lens, index = pickle.load(f)
@@ -89,7 +93,7 @@ def main():
           f"built in {time.time() - t1:.0f}s", flush=True)
 
     from rambl_tpu.pipeline.assemble import assemble_jax
-    from rambl_tpu.utils.checkpoint import load_checkpoint
+    from rambl_tpu.utils.checkpoint import load_aux_evidence, load_checkpoint
 
     ckpt = "/tmp/config5.ckpt"
     # phase A: discovery round only, checkpointed ("crash" after round 0)
@@ -103,11 +107,17 @@ def main():
     print(f"phase A (discovery + checkpoint): {tA:.0f}s, "
           f"{len(resA.panel)} panel genes", flush=True)
 
-    # phase B: resume from disk, finish the loop
+    # phase B: resume from disk, finish the loop. The .aux sidecar restores
+    # the round-0 polish evidence so phase B's polish skips the full
+    # round-0 re-stream (bitwise identical either way).
     header, panel = load_checkpoint(ckpt)
+    aux = load_aux_evidence(ckpt + ".aux", cfgA)
+    print(f"resume: {len(panel)} panel genes, aux evidence "
+          f"{'RESTORED' if aux else 'absent (will re-stream)'}", flush=True)
     t3 = time.time()
     res = assemble_jax(reads, lens, ds.ref_seqs, ds.ref_lens, tax, cfg,
-                       shared_index=index, initial_panel=panel)
+                       shared_index=index, initial_panel=panel,
+                       initial_aux=aux)
     tB = time.time() - t3
     wall = tA + tB
     for s in res.round_stats:

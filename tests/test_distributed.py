@@ -117,13 +117,19 @@ def test_ring_sharded_index_matches_replicated(small_ds, small_index, small_tax,
 
 
 def test_ring_shards_roundtrip(small_index):
-    """Shard slicing preserves every entry exactly once."""
+    """Shard slicing preserves every entry exactly once (pack_entries
+    chunk-row layout: keys live in lanes 0:32 of every (128,) int32 row)."""
     shards = build_ring_shards(small_index, 8)
     total = 0
+    keys_all = []
     for s in range(8):
         # keys are >= 0 by construction; padding is -1
-        total += int((shards["entries"][s, :, 0] >= 0).sum())
+        k = shards["entries"][s, :, 0:32].ravel()
+        total += int((k >= 0).sum())
+        keys_all.append(k[k >= 0])
     assert total == small_index.n_entries
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate(keys_all)), np.sort(small_index.entry_key))
 
 
 def test_position_sharded_pileup_matches_replicated(

@@ -153,3 +153,42 @@ def test_mesh_step_death_and_replay(prob):
     single = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
                           tax, cfg)
     assert _keys(replay.genes) == _keys(single.genes)
+
+
+def test_resumed_polish_with_aux_sidecar_bitwise(prob, tmp_path):
+    """A resumed run whose polish evidence comes from the checkpoint .aux
+    sidecar must produce the SAME final genes as (a) the uninterrupted run
+    and (b) a resume that re-streams round 0 - and a sidecar written under a
+    different config must be rejected loudly."""
+    from rambl_tpu.utils.checkpoint import load_aux_evidence
+
+    cfg, ds, tax = prob
+    ck = str(tmp_path / "panel.ckpt")
+
+    full = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
+                        tax, cfg, checkpoint_path=ck)
+    assert os.path.exists(ck + ".aux"), "aux sidecar not written"
+
+    header, panel = load_checkpoint(ck)
+    # resume from the FINAL panel... no: resume from the round-0 panel is
+    # not stored separately; instead resume from the last checkpoint panel
+    # with both evidence paths and compare them to each other + full run
+    aux = load_aux_evidence(ck + ".aux", cfg)
+    assert aux is not None
+    resumed_aux = assemble_jax(
+        ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens, tax, cfg,
+        initial_panel=panel, initial_aux=aux)
+    resumed_restream = assemble_jax(
+        ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens, tax, cfg,
+        initial_panel=panel)
+    assert _keys(resumed_aux.genes) == _keys(resumed_restream.genes)
+    assert [g.seq.tolist() for g in resumed_aux.genes] == \
+        [g.seq.tolist() for g in resumed_restream.genes]
+    assert resumed_aux.round_stats[0]["aux_restored"] is True
+    # the checkpointed final panel resumes to the converged result
+    assert _keys(resumed_aux.genes) == _keys(full.genes)
+
+    # fingerprint guard: different config -> loud rejection
+    other = dataclasses.replace(cfg, min_score=cfg.min_score + 1)
+    with pytest.raises(ValueError, match="different config"):
+        load_aux_evidence(ck + ".aux", other)

@@ -160,3 +160,77 @@ def test_gather_windows_twolevel_parity(small_ds, small_index, cfg):
     np.testing.assert_array_equal(w_two, w_table)
     v = np.asarray(c["cand_valid"])
     np.testing.assert_array_equal(w_two[v], w_elem[v])
+
+
+def test_probe_chunked_vs_legacy(small_ds, small_index, cfg):
+    """The full-lane chunk-row probe (pack_entries (rows, 128) layout) must
+    emit the same HIT MULTISET per (read, qpos) as the legacy (n, 4)
+    per-entry gather; extra slots are BIGK, so select_candidates output is
+    bitwise unchanged. Covers table-end buckets, over-cap buckets and a
+    sharded bucket_lo."""
+    from rambl_tpu.ops.seed import (
+        BIGK,
+        hash_kmer_jax,
+        pack_entries,
+        probe,
+        probe_slots,
+        query_kmers_jax,
+        select_candidates,
+    )
+
+    reads = jnp.asarray(small_ds.reads[:N])
+    lens = jnp.asarray(small_ds.read_lens[:N])
+    keys, valid = query_kmers_jax(reads, lens, cfg)
+    bucket = hash_kmer_jax(keys, small_index.n_bits)
+
+    ent_rows = pack_entries(
+        small_index.entry_key, small_index.entry_ref, small_index.entry_pos)
+    assert ent_rows.shape[1] == 128
+    n = small_index.entry_key.shape[0]
+    ent_legacy = np.zeros((n, 4), np.int32)
+    ent_legacy[:, 0] = small_index.entry_key
+    ent_legacy[:, 1] = small_index.entry_ref
+    ent_legacy[:, 2] = small_index.entry_pos
+    bs = jnp.asarray(small_index.bucket_start)
+
+    def multisets(ck):
+        return np.sort(ck, axis=-1), (ck != int(BIGK)).sum(-1)
+
+    ck_new = np.asarray(probe(keys, valid, bucket, bs,
+                              jnp.asarray(ent_rows), cfg))
+    ck_old = np.asarray(probe(keys, valid, bucket, bs,
+                              jnp.asarray(ent_legacy), cfg))
+    assert ck_new.shape[-1] == probe_slots(cfg, ent_rows.shape)
+    assert ck_old.shape[-1] == cfg.bucket_cap
+    a, na = multisets(ck_new)
+    b, nb = multisets(ck_old)
+    np.testing.assert_array_equal(na, nb)
+    # sorted hits occupy the low slots in both
+    np.testing.assert_array_equal(a[..., : cfg.bucket_cap], b)
+
+    # sharded bucket_lo: local entry slice packed to chunk rows
+    lo = small_index.n_buckets // 2
+    base = int(small_index.bucket_start[lo])
+    loc_rows = pack_entries(small_index.entry_key[base:],
+                            small_index.entry_ref[base:],
+                            small_index.entry_pos[base:])
+    ck_sh = np.asarray(probe(keys, valid, bucket, bs[lo:],
+                             jnp.asarray(loc_rows), cfg, bucket_lo=lo))
+    ck_sh_l = np.asarray(probe(keys, valid, bucket, bs[lo:],
+                               jnp.asarray(ent_legacy[base:]), cfg,
+                               bucket_lo=lo))
+    a, na = multisets(ck_sh)
+    b, nb = multisets(ck_sh_l)
+    np.testing.assert_array_equal(na, nb)
+    np.testing.assert_array_equal(a[..., : cfg.bucket_cap], b)
+    # shard misses exactly complement the full table's hits
+    assert (na > 0).sum() > 0 or small_index.n_entries == 0
+
+    # end-to-end: candidates from the chunk-row path == oracle
+    c_jx = select_candidates(jnp.asarray(ck_new), cfg)
+    c_np = seed_candidates(
+        small_ds.reads[:N], small_ds.read_lens[:N], small_index, cfg)
+    v = c_np["cand_valid"]
+    np.testing.assert_array_equal(v, np.asarray(c_jx["cand_valid"]))
+    for k in ("cand_ref", "cand_wstart", "cand_votes"):
+        np.testing.assert_array_equal(c_np[k][v], np.asarray(c_jx[k])[v])

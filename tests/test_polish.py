@@ -154,3 +154,50 @@ def test_canonicalize_drops_unplaceable_and_fills_holes():
     # every base now maps to a unique anchor column in order: cols 0..19
     # (hole col 3 filled with the anchor base 1, both -1 positions gone)
     assert s == anchor.tolist()
+
+
+def test_nw_map_batch_parity():
+    """colmap._nw_map_batch must be BITWISE equal to the sequential _nw_map
+    on every pair - mixed lengths, indels, substitutions, empty-ish and
+    identical pairs, across chunk boundaries (tiny budget forces many
+    chunks, exercising the int16 fast path and the chunking logic)."""
+    from rambl_tpu.index.colmap import _nw_map, _nw_map_batch
+
+    rng = np.random.default_rng(7)
+    pairs = []
+    for t in range(40):
+        La = int(rng.integers(5, 220))
+        a = rng.integers(0, 4, La).astype(np.int8)
+        b = a.copy()
+        # substitutions
+        for _ in range(int(rng.integers(0, 8))):
+            b[rng.integers(0, b.shape[0])] = rng.integers(0, 4)
+        # indels
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, b.shape[0]))
+            if rng.random() < 0.5:
+                b = np.delete(b, p)
+            else:
+                b = np.insert(b, p, rng.integers(0, 4))
+        pairs.append((a, b.astype(np.int8)))
+    pairs.append((pairs[0][0], pairs[0][0].copy()))      # identical
+    pairs.append((pairs[1][0], pairs[1][0][:3].copy()))  # tiny b
+    a_list = [p[0] for p in pairs]
+    b_list = [p[1] for p in pairs]
+    # numpy fallback path (tiny budget -> many chunks)
+    batch = _nw_map_batch(a_list, b_list, budget_bytes=64 << 10,
+                          native=False)
+    for (a, b), m in zip(pairs, batch):
+        np.testing.assert_array_equal(_nw_map(a, b), m)
+    # native C++ path (skips silently to the same fallback if unbuildable)
+    nat = _nw_map_batch(a_list, b_list)
+    for m1, m2 in zip(batch, nat):
+        np.testing.assert_array_equal(m1, m2)
+
+    # long pair near the int16 guard bound
+    a = rng.integers(0, 4, 2048).astype(np.int8)
+    b = np.delete(a, [5, 900, 1500]).astype(np.int8)
+    (m_long,) = _nw_map_batch([a], [b], native=False)
+    np.testing.assert_array_equal(_nw_map(a, b), m_long)
+    (m_nat,) = _nw_map_batch([a], [b])
+    np.testing.assert_array_equal(_nw_map(a, b), m_nat)
