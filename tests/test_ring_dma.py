@@ -89,3 +89,50 @@ def test_ring_probe_dma_impl_matches(small_ds, small_index, small_tax, cfg):
                       jnp.asarray(small_ds.read_lens[:B]), table,
                       jnp.asarray(small_ds.ref_seqs), cfg)
     np.testing.assert_array_equal(score_dma, np.asarray(res.score))
+
+
+def test_barrier_protocol_model():
+    """Model-check of the dma_barrier entry protocol (ring_dma._rot_kernel
+    barrier block): each device signals its LEFT and RIGHT ring neighbors'
+    barrier semaphores, then waits for its own semaphore to reach 2. Checked
+    over many random schedules for several ring sizes:
+
+    - deadlock-freedom: every fair schedule terminates (signals precede
+      waits in program order, so all waits are eventually satisfiable);
+    - the safety property the barrier exists for: when a device passes its
+      wait (and may start writing into its right neighbor's buffers), BOTH
+      neighbors have already entered the kernel instance - so no remote DMA
+      can land in a buffer belonging to a peer's previous kernel.
+
+    The CPU interpreter cannot execute the Mosaic barrier semaphore itself;
+    this model mirrors the kernel's neighbor arithmetic exactly (left =
+    (me+n-1)%n, right = (me+1)%n, wait count 2). Hardware certification:
+    scripts/check_ring_dma.py."""
+    rng = np.random.default_rng(0)
+    for n in (2, 3, 4, 8):
+        for _ in range(200):
+            # per-device program counter: 0 = not entered, 1 = entered +
+            # signaled both neighbors, 2 = passed wait (may issue DMAs)
+            pc = [0] * n
+            sem = [0] * n
+            entered_at_pass = []
+            steps = 0
+            while any(p < 2 for p in pc) and steps < 10_000:
+                d = int(rng.integers(0, n))
+                if pc[d] == 0:
+                    left = (d + n - 1) % n
+                    right = (d + 1) % n
+                    sem[left] += 1
+                    sem[right] += 1
+                    if n == 2:
+                        # left == right: the kernel still signals twice
+                        pass
+                    pc[d] = 1
+                elif pc[d] == 1 and sem[d] >= 2:
+                    sem[d] -= 2
+                    pc[d] = 2
+                    # SAFETY: both neighbors must have entered already
+                    assert pc[(d + 1) % n] >= 1 and pc[(d + n - 1) % n] >= 1
+                steps += 1
+            assert all(p == 2 for p in pc), f"deadlock at n={n}"
+            assert all(s == 0 for s in sem)  # no stray signals left behind

@@ -5,6 +5,7 @@ full-Greengenes taxonomy scale - BASELINE configs 3/5)."""
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -211,3 +212,39 @@ def test_cluster_leaf_block_parity():
                                ds.ref_lens, tax, cfg_b, 0)
     assert [(g.key(), g.n_reads, g.leaf, g.cluster) for g in g1] == \
            [(g.key(), g.n_reads, g.leaf, g.cluster) for g in g2]
+
+
+def test_leaf_features_dense_matches_sorted_formulation():
+    """Direct randomized parity: leaf_features_dense ==
+    leaf_features(sorted_col_base(...)) over edge cases - code-4 bases,
+    invalid members, padded/invalid polymorphic columns, duplicate clip
+    targets (ADVICE r4: the old featurizer's equivalence was only exercised
+    indirectly through end-to-end assembly parity)."""
+    from rambl_tpu.pipeline.cluster import (
+        leaf_features,
+        leaf_features_dense,
+        sorted_col_base,
+    )
+
+    rng = np.random.default_rng(3)
+    NL, M, L, P, ref_len = 5, 12, 32, 8, 64
+    qm = rng.integers(0, 6, (NL, M, L)).astype(np.int8)  # incl N=4, junk 5
+    # strictly increasing real columns per read, some positions unaligned
+    rcm = np.full((NL, M, L), -1, np.int32)
+    for a in range(NL):
+        for m in range(M):
+            npos = int(rng.integers(0, L))
+            cols = np.sort(rng.choice(ref_len, npos, replace=False))
+            pos = np.sort(rng.choice(L, npos, replace=False))
+            rcm[a, m, pos] = cols
+    mv = rng.random((NL, M)) < 0.8
+    pc = rng.integers(0, ref_len, (NL, P)).astype(np.int32)
+    pv = rng.random((NL, P)) < 0.7
+
+    mc, mb = jax.vmap(sorted_col_base)(jnp.asarray(qm), jnp.asarray(rcm))
+    ref = np.asarray(leaf_features(
+        mc, mb, jnp.asarray(mv), jnp.asarray(pc), jnp.asarray(pv)))
+    got = np.asarray(leaf_features_dense(
+        jnp.asarray(qm), jnp.asarray(rcm), jnp.asarray(mv),
+        jnp.asarray(pc), jnp.asarray(pv), ref_len, chunk=2))
+    np.testing.assert_array_equal(ref, got)
