@@ -172,6 +172,15 @@ class PipelineConfig:
     # polish_min_depth, else the leaf anchor's reference base (the
     # reference-guided gap fill; oracle/polish.py module docstring)
     polish_fill_holes: bool = True
+    # extend gene EDGES at polish time over anchor columns with deep
+    # leaf-exclusive evidence (depth >= polish_min_depth, non-polymorphic,
+    # contiguous outward from the gene span). The r5 config-4 census
+    # measured every remaining absent column as an EDGE truncation (left
+    # 7-31 cols): emit gates clip low-coverage ends, and each clipped end
+    # costs ~k containment k-mers. Evidence-only - no anchor-base
+    # fabrication at edges (unlike interior holes, an untouched edge leaves
+    # no foreign junction k-mers).
+    polish_extend_edges: bool = True
 
     # ---- batching / parallelism ----
     # node pileups switch from the dense (n_nodes, ref_len, 4) accumulator to

@@ -119,7 +119,14 @@ def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
       columns - pileups cannot support an insertion, so such bases are
       always consensus artifacts (measured: later-round duplicated single
       bases near panel-gene holes), and every one plants up to 2(k-1)
-      foreign k-mers."""
+      foreign k-mers.
+    - EDGE TRUNCATION (cfg.polish_extend_edges): anchor columns outward of
+      the gene span whose leaf-exclusive depth stays >= polish_min_depth
+      get the pileup winner appended/prepended (stopping at the first
+      shallow or polymorphic column - evidence only, never the anchor
+      base). The r5 config-4 census measured EVERY remaining absent column
+      as an edge truncation (consensus emit gates clip low-coverage ends).
+      A left extension shifts Gene.offset accordingly."""
     from rambl_tpu.index.colmap import _nw_map
 
     ref_len = c_leaf.shape[0]
@@ -134,13 +141,37 @@ def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
     have[np.clip(mapped, 0, ref_len - 1)] = True
     holes = [c for c in range(first + 1, last) if not have[c] and c < A]
     n_ins = int((gcols < 0).sum())
-    if not holes and not n_ins:
-        return g, 0
     tot = c_leaf.sum(axis=1)
     top = np.argmax(c_leaf, axis=1)
+
+    left_ext: List[int] = []
+    right_ext: List[int] = []
+    if cfg.polish_extend_edges:
+        srt = np.sort(c_leaf, axis=1)
+        minor = tot - srt[:, -1]
+        is_poly = (minor >= cfg.poly_min_minor_count) & (
+            minor.astype(np.int64) * cfg.poly_minor_frac_den
+            >= cfg.poly_minor_frac_num * np.maximum(tot, 1).astype(np.int64))
+
+        def deep(c):
+            return (int(tot[c]) >= cfg.polish_min_depth and not is_poly[c]
+                    and srt[c, -1] > srt[c, -2])  # unique winner
+
+        c = first - 1
+        while c >= 0 and deep(c):
+            left_ext.append(int(top[c]))
+            c -= 1
+        left_ext.reverse()
+        c = last + 1
+        hi_lim = min(A, ref_len)
+        while c < hi_lim and deep(c):
+            right_ext.append(int(top[c]))
+            c += 1
+    if not holes and not n_ins and not left_ext and not right_ext:
+        return g, 0
     fill = {c: int(top[c]) if int(tot[c]) >= cfg.polish_min_depth
             else int(aseq[c]) for c in holes}
-    out: List[int] = []
+    out: List[int] = list(left_ext)
     hi = 0
     for i in range(g.seq.shape[0]):
         gc = int(gcols[i])
@@ -150,8 +181,13 @@ def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
             out.append(fill[holes[hi]])
             hi += 1
         out.append(int(g.seq[i]))
+    out.extend(right_ext)
     seq = np.asarray(out, np.int8)
-    return dataclasses.replace(g, seq=seq), len(holes) + n_ins
+    g2 = dataclasses.replace(
+        g, seq=seq,
+        offset=g.offset - len(left_ext)) if left_ext else \
+        dataclasses.replace(g, seq=seq)
+    return g2, len(holes) + n_ins + len(left_ext) + len(right_ext)
 
 
 def apply_polish(genes: List, counts: Dict[int, np.ndarray],

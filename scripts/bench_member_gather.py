@@ -1,0 +1,87 @@
+"""Cluster member-gather variants at config-3 scale (VERDICT r4 weak #7).
+
+The round-0 cluster stage gathers (NL, M) member rows out of the (10M, L)
+retention (query int8 + ref_col int16): measured 9.5s per 512-leaf block.
+This measures, on-chip, what that gather actually costs in isolation and
+what the candidate reformulations buy:
+
+  A  query[midx] + ref_col[midx]      (the current pattern)
+  B  one packed int32 gather           (rc*8+q packed host-side; halves the
+                                        row-descriptor count, unpack = 2
+                                        vector ops)
+  C  10M-row permutation gather        (the bin-sorted-retention reorder's
+                                        cost; amortizes over ~8 blocks)
+  D  contiguous-range dynamic slices   (what bin-sorted retention enables:
+                                        D=4 ranges x M rows per leaf)
+
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_member_gather.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rambl_tpu.utils.cache import enable_compile_cache
+
+
+def timed(name, f, args_list, reps=4):
+    out = f(*args_list[0])
+    jax.block_until_ready(out)
+    t0 = time.time()
+    outs = [f(*args_list[i % len(args_list)]) for i in range(reps)]
+    for o in outs:
+        jax.block_until_ready(o)
+    dt = (time.time() - t0) / reps
+    print(f"{name}: {dt * 1e3:9.1f} ms", flush=True)
+    return dt
+
+
+def main():
+    enable_compile_cache()
+    B, L = 10_000_000, 128
+    NL, M, D = 512, 4096, 4
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 5, (B, L)).astype(np.int8))
+    rc = jnp.asarray(rng.integers(-1, 2047, (B, L)).astype(np.int16))
+    midx0 = jnp.asarray(rng.integers(0, B, (NL, M)).astype(np.int32))
+    midx1 = jnp.asarray(rng.integers(0, B, (NL, M)).astype(np.int32))
+    print(f"retention {B}x{L}: query int8 + ref_col int16 "
+          f"({(B * L * 3) / 1e9:.1f} GB)", flush=True)
+
+    gA = jax.jit(lambda mi: (jnp.sum(q[mi].astype(jnp.int32)),
+                             jnp.sum(rc[mi].astype(jnp.int32))))
+    timed("A query+rc row gathers  ", gA, [(midx0,), (midx1,)])
+
+    # B: packed single gather (pack on device once, outside the timed jit)
+    packed = jax.jit(lambda: (rc.astype(jnp.int32) + 1) * 8
+                     + q.astype(jnp.int32))()
+    jax.block_until_ready(packed)
+    gB = jax.jit(lambda mi: jnp.sum(packed[mi]))
+    timed("B packed int32 gather   ", gB, [(midx0,), (midx1,)])
+
+    perm0 = jnp.asarray(rng.permutation(B).astype(np.int32))
+    gC = jax.jit(lambda p: (jnp.sum(q[p].astype(jnp.int32)),
+                            jnp.sum(rc[p].astype(jnp.int32))))
+    timed("C 10M-row perm reorder  ", gC, [(perm0,)], reps=2)
+
+    starts0 = jnp.asarray(rng.integers(0, B - M, (NL, D)).astype(np.int32))
+    starts1 = jnp.asarray(rng.integers(0, B - M, (NL, D)).astype(np.int32))
+
+    def ranges(st):
+        def leaf(s):
+            sl = [jax.lax.dynamic_slice(q, (s[d], 0), (M, L))
+                  for d in range(D)]
+            r = [jax.lax.dynamic_slice(rc, (s[d], 0), (M, L))
+                 for d in range(D)]
+            return (sum(jnp.sum(x.astype(jnp.int32)) for x in sl)
+                    + sum(jnp.sum(x.astype(jnp.int32)) for x in r))
+        return jnp.sum(jax.lax.map(leaf, st))
+
+    gD = jax.jit(ranges)
+    timed("D contiguous range reads", gD, [(starts0,), (starts1,)])
+
+
+if __name__ == "__main__":
+    main()

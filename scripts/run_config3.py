@@ -103,6 +103,10 @@ def main():
         if cont > 0.95:
             recovered.add(best)
     n_full = len(res.full_length(cfg))
+    # dump the panel for offline miss diagnosis (scripts/diagnose_config3.py)
+    with open("/tmp/config3_genes.pkl", "wb") as f:
+        pickle.dump(dict(genes=res.genes, recovered=recovered,
+                         detectable=detectable, stats=res.round_stats), f)
     aligns = sum(s.get("aligned", 0) for s in res.round_stats)
     print(f"wall {wall:.0f}s | rounds {res.n_rounds} converged {res.converged}")
     print(f"genes {len(res.genes)} full-length {n_full} | "

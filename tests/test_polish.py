@@ -116,9 +116,13 @@ def test_interior_hole_coordinates():
 
 def test_hole_fill_from_pileup_and_anchor():
     """Interior emit holes fill from the exclusive pileup when deep, from the
-    anchor reference otherwise; terminal truncation is never extended."""
+    anchor reference otherwise; edge truncation extends ONLY over deep
+    unambiguous evidence (cfg.polish_extend_edges; shallow edges stay
+    absent, a left extension shifts the offset)."""
+    import dataclasses
+
     cfg = PipelineConfig()
-    assert cfg.polish_fill_holes
+    assert cfg.polish_fill_holes and cfg.polish_extend_edges
     anchor = np.asarray([0, 1, 2, 3, 0, 1, 2, 3, 0, 1], np.int8)
     # gene = anchor cols 1..8 with interior cols 3 and 6 deleted
     g = mk_gene([1, 2, 0, 1, 3, 0], offset=1)
@@ -126,10 +130,36 @@ def test_hole_fill_from_pileup_and_anchor():
     c[3] = 0
     c[3, 3] = 9           # deep pileup says T at the first hole
     c[6] = 0              # second hole has NO depth -> anchor base (2)
-    genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
+
+    # edge behavior contract, shallow edges: no extension
+    c_sh = c.copy()
+    c_sh[0] = 0           # left edge col below polish_min_depth
+    c_sh[9] = 0           # right edge col below polish_min_depth
+    genes, changed = apply_polish([g], {7: c_sh}, {7: anchor}, cfg)
     assert genes[0].seq.tolist() == [1, 2, 3, 0, 1, 2, 3, 0]
     assert changed == 2
-    # terminal cols 0 and 9 stay absent; offset unchanged
+    assert genes[0].offset == g.offset
+
+    # deep edges: both terminals extend from the pileup winner, the left
+    # extension shifts the offset, changed counts the added columns
+    genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
+    assert genes[0].seq.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    assert changed == 4
+    assert genes[0].offset == g.offset - 1
+
+    # extension never crosses a polymorphic or tied edge column
+    c_poly = c.copy()
+    c_poly[0] = 0
+    c_poly[0, 0] = 6
+    c_poly[0, 1] = 6      # tie + polymorphic -> stop before col 0
+    genes, _ = apply_polish([g], {7: c_poly}, {7: anchor}, cfg)
+    assert genes[0].seq.tolist() == [1, 2, 3, 0, 1, 2, 3, 0, 1]
+    assert genes[0].offset == g.offset
+
+    # the flag turns edge extension off entirely
+    cfg_off = dataclasses.replace(cfg, polish_extend_edges=False)
+    genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg_off)
+    assert genes[0].seq.tolist() == [1, 2, 3, 0, 1, 2, 3, 0]
     assert genes[0].offset == g.offset
 
 
