@@ -241,6 +241,46 @@ def cohort_genes_for_leaf(stack: np.ndarray, backbone, anchor_seq: np.ndarray,
     aseq = np.asarray(anchor_seq)
     gseq = np.asarray(backbone.seq)
     gcols = _nw_map(aseq, gseq)
+    offset = int(backbone.offset)
+
+    # POOLED edge extension (cfg.polish_extend_edges semantics with the
+    # whole cohort's depth): the per-sample polish pass cannot extend edge
+    # truncations the samples individually lack depth for (~40x: edge col 7
+    # holds ~3 reads/sample), but the pooled stack (S x that) easily
+    # qualifies - the r5 census measured EVERY remaining absent column of
+    # the config-4 misses as such an edge. Same deep() rule as
+    # oracle.polish.fill_gene_holes, on the pooled pileup.
+    if cfg.polish_extend_edges and (gcols >= 0).any():
+        pooled = stack.sum(axis=0)
+        ptot = pooled.sum(axis=1)
+        ptop = np.argmax(pooled, axis=1)
+
+        def edge_base(c):
+            # pooled winner at depth, anchor base otherwise (same
+            # reference-guided rule as oracle.polish.fill_gene_holes edge
+            # extension); a polymorphic edge column is safe to cross here
+            # because the per-group substitution below overrides any
+            # QUALIFYING column with the group's own allele
+            if int(ptot[c]) >= cfg.polish_min_depth:
+                return int(ptop[c])
+            return int(aseq[c])
+
+        mp = gcols[gcols >= 0]
+        first, last = int(mp.min()), int(mp.max())
+        hi_lim = min(aseq.shape[0], pooled.shape[0])
+        left_c = list(range(0, first))
+        left_b = [edge_base(c) for c in left_c]
+        right_c = list(range(last + 1, hi_lim))
+        right_b = [edge_base(c) for c in right_c]
+        if left_b or right_b:
+            gseq = np.concatenate([
+                np.asarray(left_b, np.int8), gseq,
+                np.asarray(right_b, np.int8)])
+            gcols = np.concatenate([
+                np.asarray(left_c, np.int32), gcols,
+                np.asarray(right_c, np.int32)])
+            offset -= len(left_b)
+
     pos_of: Dict[int, int] = {}
     for i, gcol in enumerate(gcols.tolist()):
         if gcol >= 0 and gcol not in pos_of:
@@ -308,8 +348,7 @@ def cohort_genes_for_leaf(stack: np.ndarray, backbone, anchor_seq: np.ndarray,
         # per-sample strain depth estimate: lower median of the group's own
         # minor counts (integer, deterministic)
         sup = np.sort(m[own], axis=0)[(own.size - 1) // 2]
-        out.append((seq.astype(np.int8), int(backbone.offset),
-                    sup.astype(np.int64), g))
+        out.append((seq.astype(np.int8), offset, sup.astype(np.int64), g))
     return out
 
 

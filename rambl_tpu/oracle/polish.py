@@ -153,20 +153,22 @@ def fill_gene_holes(g, c_leaf: np.ndarray, aseq: np.ndarray,
             minor.astype(np.int64) * cfg.poly_minor_frac_den
             >= cfg.poly_minor_frac_num * np.maximum(tot, 1).astype(np.int64))
 
-        def deep(c):
-            return (int(tot[c]) >= cfg.polish_min_depth and not is_poly[c]
-                    and srt[c, -1] > srt[c, -2])  # unique winner
+        def edge_base(c):
+            # same rule as the interior hole fill: deep decisive exclusive
+            # evidence wins, the leaf anchor's reference base otherwise (the
+            # reference pipeline's candidates START as full-length DB refs,
+            # so its uncovered edges are reference bases by construction -
+            # module docstring). Conserved edges are where reads multi-map
+            # away from the leaf (measured: exclusive depth ~0-3 at the
+            # first ~30 columns at config-4 shape), and conserved columns
+            # are strain-independent, so the anchor base is the right call.
+            if (int(tot[c]) >= cfg.polish_min_depth and not is_poly[c]
+                    and srt[c, -1] > srt[c, -2]):
+                return int(top[c])
+            return int(aseq[c])
 
-        c = first - 1
-        while c >= 0 and deep(c):
-            left_ext.append(int(top[c]))
-            c -= 1
-        left_ext.reverse()
-        c = last + 1
-        hi_lim = min(A, ref_len)
-        while c < hi_lim and deep(c):
-            right_ext.append(int(top[c]))
-            c += 1
+        left_ext = [edge_base(c) for c in range(0, first)]
+        right_ext = [edge_base(c) for c in range(last + 1, min(A, ref_len))]
     if not holes and not n_ins and not left_ext and not right_ext:
         return g, 0
     fill = {c: int(top[c]) if int(tot[c]) >= cfg.polish_min_depth

@@ -289,6 +289,7 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
             col_maps=col_maps)
     from rambl_tpu.index.colmap import build_col_maps
 
+    t_prep = time.time()
     table = SeedTable.from_index(index)
     # pad the entry chunk rows to a bucket multiple: pad rows (all -1) sit
     # beyond every CSR bucket range and are never scanned, so rounds with
@@ -302,10 +303,19 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     anc = jnp.asarray(tables.anc_path)
     dep = jnp.asarray(tables.depth)
     rt = jnp.asarray(tables.ref_taxon)
+    if _STAGE_TIMING:
+        jax.block_until_ready(table.entries)
+        print(f"[stage] align_prep_table +{time.time() - t_prep:.0f}s",
+              file=sys.stderr, flush=True)
+        t_prep = time.time()
     col_map = jnp.asarray(
         col_maps if col_maps is not None else build_col_maps(
             np.asarray(ref_seqs), np.asarray(ref_lens),
             np.asarray(tables.ref_taxon)))
+    if _STAGE_TIMING:
+        jax.block_until_ready(col_map)
+        print(f"[stage] align_prep_colmap +{time.time() - t_prep:.0f}s",
+              file=sys.stderr, flush=True)
     n_nodes = tables.n_nodes
     ref_len = ref_seqs.shape[1]
 

@@ -15,12 +15,16 @@ import dataclasses
 import hashlib
 import json
 import os
-from typing import List, Optional, Tuple
+from typing import TYPE_CHECKING, List, Optional, Tuple
 
 import numpy as np
 
 from rambl_tpu.config import PipelineConfig
-from rambl_tpu.oracle.pipeline import Gene
+
+if TYPE_CHECKING:  # Gene imports lazily inside load_checkpoint: a module-
+    # level import was a real cycle (utils.__init__ -> checkpoint ->
+    # oracle.pipeline -> oracle.align -> io -> utils.errors -> utils.__init__)
+    from rambl_tpu.oracle.pipeline import Gene
 
 FORMAT_VERSION = 2  # v2: gene meta gained the panel offset column
 
@@ -29,7 +33,7 @@ def config_fingerprint(cfg: PipelineConfig) -> str:
     return hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
 
 
-def save_checkpoint(path: str, cfg: PipelineConfig, genes: List[Gene],
+def save_checkpoint(path: str, cfg: PipelineConfig, genes: "List[Gene]",
                     round_idx: int, round_stats: Optional[list] = None) -> None:
     header = dict(
         format=FORMAT_VERSION,
@@ -97,12 +101,14 @@ def load_aux_evidence(path: str, cfg: PipelineConfig) -> Optional[dict]:
     return dict(slot_counts=(z["slot_counts"], z["node2slot"]))
 
 
-def load_checkpoint(path: str) -> Tuple[dict, List[Gene]]:
+def load_checkpoint(path: str) -> "Tuple[dict, List[Gene]]":
+    from rambl_tpu.oracle.pipeline import Gene
+
     z = np.load(path)
     header = json.loads(bytes(z["header"]).decode())
     if header["format"] != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint format {header['format']}")
-    genes: List[Gene] = []
+    genes: "List[Gene]" = []
     lens = z["__lens__"]
     if lens.size:
         seqs = z["seqs"]

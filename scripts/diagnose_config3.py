@@ -64,13 +64,24 @@ def main():
         rows.append((r, t, best, cont, ref))
         nw_jobs.append((len(rows) - 1, ref, best.seq))
 
+    # polish evidence, if the run dumped it (slot-compacted round-0
+    # leaf-exclusive pileups): classify every wrong base by WHY the polish
+    # override did not (or wrongly did) fire there
+    slot = st.get("slot_counts")
+    counts_s = node2slot = None
+    if slot is not None:
+        counts_s, node2slot = slot
+    base_classes = Counter()
+    cfgp = PipelineConfig()
+
     maps = _nw_map_batch([j[1] for j in nw_jobs], [j[2] for j in nw_jobs])
     for (i, ref, gseq), m in zip(nw_jobs, maps):
         r, t, best, cont, _ = rows[i]
         ok = m >= 0
         aligned = int(ok.sum())
-        wrong = int((ref[np.clip(m, 0, len(ref) - 1)][ok]
-                     != gseq[ok]).sum())
+        wrong_mask = np.zeros(len(gseq), bool)
+        wrong_mask[ok] = ref[np.clip(m, 0, len(ref) - 1)][ok] != gseq[ok]
+        wrong = int(wrong_mask.sum())
         unmapped = int((~ok).sum())
         span = (int(m[ok].min()), int(m[ok].max())) if aligned else (0, 0)
         short = len(ref) - (span[1] - span[0] + 1)
@@ -83,12 +94,45 @@ def main():
         else:
             cls = "many-wrong-bases"
         classes[cls] += 1
+        detail = ""
+        if counts_s is not None and int(node2slot[t]) >= 0:
+            # NOTE: gene coords map onto the ANCHOR of its leaf; with
+            # leaf_per_ref the ref IS the anchor, so m addresses the pileup
+            c_leaf = counts_s[int(node2slot[t])]
+            per = Counter()
+            for gi_pos in np.nonzero(wrong_mask)[0]:
+                col = int(m[gi_pos])
+                c = c_leaf[col]
+                tot = int(c.sum())
+                srt = np.sort(c)
+                minor = tot - int(srt[-1])
+                poly = (minor >= cfgp.poly_min_minor_count and
+                        minor * cfgp.poly_minor_frac_den
+                        >= cfgp.poly_minor_frac_num * max(tot, 1))
+                topb = int(np.argmax(c))
+                true_b = int(ref[col])
+                if tot < cfgp.polish_min_depth:
+                    per["thin-evidence"] += 1
+                elif poly:
+                    per["poly-guard"] += 1
+                elif srt[-1] == srt[-2]:
+                    per["tied-winner"] += 1
+                elif srt[-1] * cfgp.polish_maj_den < cfgp.polish_maj_num * tot:
+                    per["no-majority"] += 1
+                elif topb != true_b:
+                    per["winner-wrong"] += 1
+                else:
+                    per["winner-right-gene-wrong"] += 1
+            base_classes.update(per)
+            detail = " " + dict(per).__repr__()
         print(f"ref {r} taxon {t}: cont {cont:.3f} len(g)={len(gseq)} "
               f"len(ref)={len(ref)} wrong={wrong} ins={unmapped} "
               f"missing_span={short} reads={best.n_reads} "
-              f"cluster={best.cluster} born={best.round_born} [{cls}]",
-              flush=True)
+              f"cluster={best.cluster} born={best.round_born} "
+              f"[{cls}]{detail}", flush=True)
     print("\nclass counts:", dict(classes), flush=True)
+    if base_classes:
+        print("wrong-base classes:", dict(base_classes), flush=True)
 
 
 if __name__ == "__main__":

@@ -80,8 +80,9 @@ def main():
           f"built in {time.time() - t1:.0f}s", flush=True)
 
     t2 = time.time()
+    aux = {}
     res = assemble_jax(ds.reads, ds.read_lens, ds.ref_seqs, ds.ref_lens,
-                       tax, cfg, shared_index=index)
+                       tax, cfg, shared_index=index, aux_out=aux)
     wall = time.time() - t2
     for s in res.round_stats:
         print(s, flush=True)
@@ -103,10 +104,15 @@ def main():
         if cont > 0.95:
             recovered.add(best)
     n_full = len(res.full_length(cfg))
-    # dump the panel for offline miss diagnosis (scripts/diagnose_config3.py)
+    # dump the panel + round-0 evidence for offline miss diagnosis
+    # (scripts/diagnose_config3.py; the slot counts let the wrong-base
+    # classifier read the exact polish evidence without a 10M-read realign)
+    slot = aux.get("slot_counts")
     with open("/tmp/config3_genes.pkl", "wb") as f:
         pickle.dump(dict(genes=res.genes, recovered=recovered,
-                         detectable=detectable, stats=res.round_stats), f)
+                         detectable=detectable, stats=res.round_stats,
+                         slot_counts=(None if slot is None else
+                                      (np.asarray(slot[0]), slot[1]))), f)
     aligns = sum(s.get("aligned", 0) for s in res.round_stats)
     print(f"wall {wall:.0f}s | rounds {res.n_rounds} converged {res.converged}")
     print(f"genes {len(res.genes)} full-length {n_full} | "

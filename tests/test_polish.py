@@ -116,9 +116,11 @@ def test_interior_hole_coordinates():
 
 def test_hole_fill_from_pileup_and_anchor():
     """Interior emit holes fill from the exclusive pileup when deep, from the
-    anchor reference otherwise; edge truncation extends ONLY over deep
-    unambiguous evidence (cfg.polish_extend_edges; shallow edges stay
-    absent, a left extension shifts the offset)."""
+    anchor reference otherwise; edge truncation extends to the full anchor
+    span with the SAME rule (cfg.polish_extend_edges): deep decisive
+    evidence wins, anchor base otherwise - the reference pipeline's
+    candidates start as full-length DB refs, so its uncovered edges are
+    reference bases by construction. Left extension shifts the offset."""
     import dataclasses
 
     cfg = PipelineConfig()
@@ -131,30 +133,35 @@ def test_hole_fill_from_pileup_and_anchor():
     c[3, 3] = 9           # deep pileup says T at the first hole
     c[6] = 0              # second hole has NO depth -> anchor base (2)
 
-    # edge behavior contract, shallow edges: no extension
+    # shallow edges: anchor-base extension (reference-guided)
     c_sh = c.copy()
     c_sh[0] = 0           # left edge col below polish_min_depth
     c_sh[9] = 0           # right edge col below polish_min_depth
     genes, changed = apply_polish([g], {7: c_sh}, {7: anchor}, cfg)
-    assert genes[0].seq.tolist() == [1, 2, 3, 0, 1, 2, 3, 0]
-    assert changed == 2
-    assert genes[0].offset == g.offset
+    assert genes[0].seq.tolist() == anchor.tolist()
+    assert changed == 4   # 2 interior holes + 2 edge columns
+    assert genes[0].offset == g.offset - 1
 
-    # deep edges: both terminals extend from the pileup winner, the left
-    # extension shifts the offset, changed counts the added columns
+    # deep edges: pileup winner (here == anchor), offset shifts
     genes, changed = apply_polish([g], {7: c}, {7: anchor}, cfg)
-    assert genes[0].seq.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    assert genes[0].seq.tolist() == anchor.tolist()
     assert changed == 4
     assert genes[0].offset == g.offset - 1
 
-    # extension never crosses a polymorphic or tied edge column
+    # deep DISAGREEING edge evidence overrides the anchor base
+    c_dis = c.copy()
+    c_dis[0] = 0
+    c_dis[0, 3] = 9       # deep unanimous T at left edge (anchor says A)
+    genes, _ = apply_polish([g], {7: c_dis}, {7: anchor}, cfg)
+    assert genes[0].seq.tolist() == [3] + anchor.tolist()[1:]
+
+    # polymorphic/tied edge columns fall back to the anchor base
     c_poly = c.copy()
     c_poly[0] = 0
-    c_poly[0, 0] = 6
-    c_poly[0, 1] = 6      # tie + polymorphic -> stop before col 0
+    c_poly[0, 2] = 6
+    c_poly[0, 3] = 6      # tie + polymorphic -> anchor base (0), not 2/3
     genes, _ = apply_polish([g], {7: c_poly}, {7: anchor}, cfg)
-    assert genes[0].seq.tolist() == [1, 2, 3, 0, 1, 2, 3, 0, 1]
-    assert genes[0].offset == g.offset
+    assert genes[0].seq.tolist() == anchor.tolist()
 
     # the flag turns edge extension off entirely
     cfg_off = dataclasses.replace(cfg, polish_extend_edges=False)
