@@ -8,8 +8,19 @@ hostile to TPU memory (SURVEY.md section 7.4.3), so the TPU-native index is a
 - all k-mers of every reference sequence are enumerated on the host (NumPy),
 - keys are hashed into P = 2^b buckets (multiplicative hash),
 - entries are stored CSR-style: `bucket_start[P+1]` offsets into flat
-  `entry_key/entry_ref/entry_pos` arrays, sorted within a bucket by
-  (key, ref_id, pos) so any capped scan is deterministic.
+  `entry_key/entry_ref/entry_pos` arrays, ordered within a bucket by
+  (key, scramble(ref, pos), ref, pos) where scramble is a deterministic
+  32-bit mix. The SCRAMBLE term is load-bearing for output quality: the
+  probe scans only the first `bucket_cap` entries of a k-mer's run, and a
+  plain (key, ref, pos) order made that truncation systematically keep the
+  LOWEST ref ids - any ref whose k-mer is carried by >= cap lower-id refs
+  became invisible to seeding there. Measured at config-3 scale (r5): reads
+  straddling a conserved 16S block lost their true high-id ref from the
+  candidate list entirely, aligned CLIPPED to ref 0 (which is index-
+  privileged in every conserved bucket), and the 28 highest-abundance
+  references were missed with ~70-column corrupted consensus zones. The
+  scrambled order makes the capped scan an unbiased deterministic sample of
+  the k-mer's carriers instead.
 
 Device-side lookup (rambl_tpu.ops.seed / oracle.seed) is then pure
 gather + compare over dense arrays: exactly the access pattern TPUs like.
@@ -139,14 +150,27 @@ def build_seed_index(
         # (the capped bucket scan tolerates load factors > 1)
         n_bits = min(27, max(8, int(np.ceil(np.log2(max(n_entries, 1) * 2 + 1)))))
 
-    # Sort by (bucket, key, ref, pos): deterministic capped scans. Entries are
-    # enumerated in (ref, pos) order, so ONE stable sort by the packed
-    # (bucket, key) int64 (bucket <= 27 bits, key 2k <= 30 bits) reproduces
-    # the full 4-key lexsort order — and numpy's stable int sort is radix
-    # (~8s vs ~160s for lexsort at 150M entries). bucket and key come back
-    # out of the SORTED packed value (shift/mask) instead of two more 150M
-    # gathers; the hash itself runs in uint32 (the multiplicative hash is
-    # mod-2^32 by construction, hash_kmer parity asserted in tests).
+    # Sort by (bucket, key, scramble(ref,pos), ref, pos): deterministic
+    # UNBIASED capped scans (module docstring - a (ref, pos) suffix order
+    # made bucket_cap truncation drop every high-id ref of a popular k-mer).
+    # Two stable radix passes: first by the scramble mix (entries are
+    # enumerated in (ref, pos) order, so stability supplies the (ref, pos)
+    # tiebreak), then by the packed (bucket, key) int64 (bucket <= 27 bits,
+    # key 2k <= 30 bits) - numpy's stable int sort is radix (~8s/pass vs
+    # ~160s lexsort at 150M entries). bucket and key come back out of the
+    # SORTED packed value (shift/mask) instead of two more 150M gathers; the
+    # hash itself runs in uint32 (mod-2^32 by construction, hash_kmer parity
+    # asserted in tests).
+    scr = refs.astype(np.uint32)
+    np.multiply(scr, np.uint32(2246822519), out=scr)
+    scr ^= pos.astype(np.uint32)
+    np.multiply(scr, _HASH_MULT.astype(np.uint32), out=scr)
+    pre = np.argsort(scr.view(np.int32), kind="stable")
+    del scr
+    keys = keys[pre]
+    refs = refs[pre]
+    pos = pos[pre]
+    del pre
     if n_bits + 2 * k <= 62:
         h = keys.astype(np.uint32)
         np.multiply(h, _HASH_MULT.astype(np.uint32), out=h)
@@ -168,7 +192,9 @@ def build_seed_index(
         del h
     else:
         bucket = hash_kmer(keys.astype(np.int64), n_bits)
-        order = np.lexsort((pos, refs, keys, bucket))
+        order = np.argsort(
+            np.bitwise_or(bucket.astype(np.int64) << (2 * k),
+                          keys.astype(np.int64)), kind="stable")
         bucket, keys, refs, pos = (bucket[order], keys[order], refs[order],
                                    pos[order])
 

@@ -59,7 +59,7 @@ def main():
                          max_clusters_per_bin=16, max_assembly_iters=4,
                          bin_share_depth=3, cluster_leaf_block=512,
                          sw_rows=104)
-    cache = f"/tmp/config3_cache_10000000_100000_k{cfg.k}_v2_seed13.pkl"
+    cache = f"/tmp/config3_cache_10000000_100000_k{cfg.k}_v3_seed13.pkl"
     t0 = time.time()
     with open(cache, "rb") as f:
         ds, index = pickle.load(f)

@@ -60,7 +60,7 @@ def main():
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     cfg = PipelineConfig(batch_size=B, sw_rows=104)
 
-    cache = f"/tmp/config3_cache_10000000_{R}_k{cfg.k}_v2_seed13.pkl"
+    cache = f"/tmp/config3_cache_10000000_{R}_k{cfg.k}_v3_seed13.pkl"
     t0 = time.time()
     if os.path.exists(cache):
         with open(cache, "rb") as f:

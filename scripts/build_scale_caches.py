@@ -21,7 +21,7 @@ from rambl_tpu.config import PipelineConfig
 from rambl_tpu.data.simulate import _gen_reads, simulate_dataset
 from rambl_tpu.index.builder import build_seed_index
 
-_GEN_V = 2  # keep in sync with run_config3.py / run_config5.py
+_GEN_V = 3  # v3: scrambled within-bucket entry order (unbiased capped scans)
 
 
 def build_config3(n_reads=10_000_000, n_refs=100_000):

@@ -31,7 +31,7 @@ def main():
         st = pickle.load(f)
     genes, recovered, detectable = st["genes"], st["recovered"], st["detectable"]
     k = PipelineConfig().k
-    cache = f"/tmp/config3_cache_10000000_100000_k{k}_v2_seed13.pkl"
+    cache = f"/tmp/config3_cache_10000000_100000_k{k}_v3_seed13.pkl"
     with open(cache, "rb") as f:
         ds, _ = pickle.load(f)
 

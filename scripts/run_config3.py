@@ -41,7 +41,7 @@ def main():
     # skip them on reruns. k + a version tag are part of the key (ADVICE r4:
     # a later change to k or simulate_dataset must not silently reuse a
     # stale index); bump _GEN_V when the simulator changes.
-    _GEN_V = 2
+    _GEN_V = 3
     cache = (f"/tmp/config3_cache_{n_reads}_{n_refs}"
              f"_k{PipelineConfig().k}_v{_GEN_V}_seed13.pkl")
     t0 = time.time()

@@ -50,7 +50,7 @@ def main():
     # Deterministic in (n_reads, n_refs, k, generator version): cache
     # dataset + index for reruns (key includes k + a version tag per
     # ADVICE r4; bump _GEN_V when the simulator changes).
-    _GEN_V = 2
+    _GEN_V = 3
     cache = (f"/tmp/config5_cache_{n_reads}_{n_refs}"
              f"_k{PipelineConfig().k}_v{_GEN_V}_seed13.pkl")
     if os.path.exists(cache):
