@@ -159,8 +159,9 @@ def make_pileup_merge_step(mesh, n_nodes: int, ref_len: int,
         return counts, span_diff, rc
 
     repl = P()
+    # counts rows are FLAT (n_nodes, ref_len*4) - node_pileup layout
     out_specs = (
-        P(None, DATA_AXIS, None) if shard_positions else repl,
+        P(None, DATA_AXIS) if shard_positions else repl,
         P(None, DATA_AXIS) if shard_positions else repl,
         repl,
     )
@@ -288,9 +289,9 @@ def make_align_pileup_step(mesh, cfg: PipelineConfig, n_bits: int,
         repl, repl, repl, repl, repl,     # ref_seqs, ref_taxon, anc, depth, col_map
     )
     pile_spec = P(None, DATA_AXIS) if shard_positions else repl
+    # counts rows are FLAT (n_nodes, ref_len*4) - node_pileup layout
     out_specs = (data2, data2, data, data,
-                 P(None, DATA_AXIS, None) if shard_positions else repl,
-                 pile_spec, repl)
+                 pile_spec, pile_spec, repl)
     return jax.jit(
         jax.shard_map(
             step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

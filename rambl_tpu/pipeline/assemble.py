@@ -158,10 +158,11 @@ def cluster_round0_members(qm, rcm, bins_m, mvalid, counts, span_diff,
     identical to spawn=True on such leaves (tests/test_scale_paths.py)."""
     from rambl_tpu.pipeline.pileup import leaf_pileup_slots
 
+    ref_len = counts.shape[1] // 4   # counts rows are FLAT (node_pileup)
     if node2slot is None:
         leaf_counts, leaf_span = leaf_pileup(
             counts, span_diff, leaves, anc_path, depth, cfg.bin_share_depth)
-        excl_counts = counts[leaves]
+        excl_counts = counts[leaves].reshape(-1, ref_len, 4)
     else:
         leaf_counts, leaf_span = leaf_pileup_slots(
             counts, span_diff, node2slot, leaves, anc_path, depth,
@@ -169,8 +170,8 @@ def cluster_round0_members(qm, rcm, bins_m, mvalid, counts, span_diff,
         ls = node2slot[leaves]
         excl_counts = jnp.where(
             (ls >= 0)[:, None, None],
-            counts[jnp.clip(ls, 0, counts.shape[0] - 1)], 0)
-    ref_len = counts.shape[1]
+            counts[jnp.clip(ls, 0, counts.shape[0] - 1)].reshape(
+                -1, ref_len, 4), 0)
     # consensus mask is UNCAPPED (capping would crowd out late discriminating
     # columns); the feature columns below take the first max_poly_cols of it
     pm = polymorphic_mask(
@@ -322,7 +323,7 @@ def _stream_align(reads, lens, index, ref_seqs, ref_lens, tables, cfg,
     padded, plens, nb, B = _pad_batches(reads, lens, cfg.batch_size)
     dense = n_nodes <= cfg.pileup_slot_nodes
     if dense:
-        counts = jnp.zeros((n_nodes, ref_len, 4), jnp.int32)
+        counts = jnp.zeros((n_nodes, ref_len * 4), jnp.int32)
         span_diff = jnp.zeros((n_nodes, ref_len + 1), jnp.int32)
     else:
         # slot-compacted mode: the dense accumulators are never allocated;
@@ -834,9 +835,13 @@ def leaf_counts_dict(reads, lens, ref_seqs, ref_lens, tables,
             slot_counts = (counts_s, node2slot)
     if node_counts is not None:
         node_counts = np.asarray(node_counts)
+        if node_counts.ndim == 2:    # flat node_pileup rows -> host 3D view
+            node_counts = node_counts.reshape(-1, ref_len, 4)
         return {int(l): node_counts[int(l)] for l in taxa}
     counts_s, node2slot = slot_counts
     counts_s = np.asarray(counts_s)
+    if counts_s.ndim == 2:           # flat node_pileup rows -> host 3D view
+        counts_s = counts_s.reshape(-1, ref_len, 4)
     zeros = np.zeros((ref_len, 4), np.int32)
     return {
         int(l): (counts_s[node2slot[int(l)]]

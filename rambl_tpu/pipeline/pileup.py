@@ -76,8 +76,13 @@ def node_pileup(
 ):
     """Scatter reads into node space.
 
-    Returns (counts (n_nodes, ref_len, 4) int32, span_diff (n_nodes, ref_len+1)
-    int32). span_diff is the un-cumsum'd interval-difference array.
+    Returns (counts (n_nodes, ref_len*4) int32 FLAT rows, span_diff
+    (n_nodes, ref_len+1) int32). span_diff is the un-cumsum'd
+    interval-difference array. counts rows stay FLAT in node/slot space:
+    a (n, ref_len, 4) device array is tiled T(8,128) with the 4-lane minor
+    dim padded to 128 (32x memory - a 32k-slot accumulator tried to
+    allocate 33.6 GB); consumers reshape AFTER the per-leaf gather, where
+    blocks are small. Flat and 3D hold identical integers.
 
     Calls larger than _SCATTER_ROW_CHUNK rows run as a lax.scan of per-chunk
     scatters accumulated in FLAT 1D space (no tiled-layout padding), with the
@@ -114,7 +119,7 @@ def node_pileup(
             span = span + ss
     else:
         counts, span = _scatter_flat(query, ref_col, bins, n_nodes, ref_len)
-    return (counts[:-1].reshape(n_nodes, ref_len, 4),
+    return (counts[:-1].reshape(n_nodes, ref_len * 4),
             span[:-1].reshape(n_nodes, ref_len + 1))
 
 
@@ -128,7 +133,7 @@ def chain_use_mask(leaves, depth, share_depth: int = MAX_DEPTH):
 
 
 def leaf_pileup(
-    counts: jax.Array,      # (n_nodes, ref_len, 4)
+    counts: jax.Array,      # (n_nodes, ref_len*4) flat node_pileup rows
     span_diff: jax.Array,   # (n_nodes, ref_len+1)
     leaves: jax.Array,      # (NL,) int32 leaf node ids
     anc_path: jax.Array,    # (n_nodes, MAX_DEPTH) int32
@@ -144,10 +149,13 @@ def leaf_pileup(
     repeats the leaf itself, which must not be double counted - mask by
     depth index), bounded below by share_depth.
     """
+    NL = leaves.shape[0]
+    ref_len = counts.shape[1] // 4
     paths = anc_path[leaves]                     # (NL, D)
     use = chain_use_mask(leaves, depth, share_depth)
-    c = counts[paths]                            # (NL, D, ref_len, 4)
-    leaf_counts = jnp.sum(c * use[:, :, None, None], axis=1)
+    c = counts[paths]                            # (NL, D, ref_len*4) flat
+    leaf_counts = jnp.sum(c * use[:, :, None], axis=1).reshape(
+        NL, ref_len, 4)
     s = span_diff[paths]                         # (NL, D, ref_len+1)
     leaf_span_diff = jnp.sum(s * use[:, :, None], axis=1)
     leaf_span = jnp.cumsum(leaf_span_diff[:, :-1], axis=1)
@@ -176,7 +184,7 @@ def node_slot_pileup(
 
 
 def leaf_pileup_slots(
-    counts_s: jax.Array,     # (n_slots, ref_len, 4)
+    counts_s: jax.Array,     # (n_slots, ref_len*4) flat node_pileup rows
     span_s: jax.Array,       # (n_slots, ref_len+1)
     node2slot: jax.Array,    # (n_nodes,) int32
     leaves: jax.Array,       # (NL,)
@@ -186,12 +194,15 @@ def leaf_pileup_slots(
 ):
     """leaf_pileup over slot-compacted accumulators (chain nodes without a
     slot contribute zero, exactly like zero-count nodes in the dense path)."""
+    NL = leaves.shape[0]
+    ref_len = counts_s.shape[1] // 4
     paths = anc_path[leaves]                     # (NL, D)
     slots = node2slot[paths]                     # (NL, D)
     use = chain_use_mask(leaves, depth, share_depth) & (slots >= 0)
     sidx = jnp.clip(slots, 0, counts_s.shape[0] - 1)
-    c = counts_s[sidx]                           # (NL, D, ref_len, 4)
-    leaf_counts = jnp.sum(c * use[:, :, None, None], axis=1)
+    c = counts_s[sidx]                           # (NL, D, ref_len*4) flat
+    leaf_counts = jnp.sum(c * use[:, :, None], axis=1).reshape(
+        NL, ref_len, 4)
     s = span_s[sidx]                             # (NL, D, ref_len+1)
     leaf_span_diff = jnp.sum(s * use[:, :, None], axis=1)
     leaf_span = jnp.cumsum(leaf_span_diff[:, :-1], axis=1)

@@ -153,9 +153,10 @@ def test_position_sharded_pileup_matches_replicated(
              _col_map(small_ds, small_tax))]
     q, rc, bins, score, counts, span, rcount = step(reads, lens, *args)
 
-    # sharded over columns but logically the same global tensors
-    assert counts.sharding.spec == jax.sharding.PartitionSpec(
-        None, "data", None)
+    # sharded over the flat (col, base) axis but logically the same global
+    # tensors (counts rows are FLAT (n_nodes, ref_len*4) - node_pileup
+    # layout; ref_len % n_dev == 0 keeps device slices on whole columns)
+    assert counts.sharding.spec == jax.sharding.PartitionSpec(None, "data")
     np.testing.assert_array_equal(np.asarray(counts), counts1)
     ref_len = small_ds.ref_seqs.shape[1]
     np.testing.assert_array_equal(
