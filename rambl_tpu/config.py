@@ -197,6 +197,16 @@ class PipelineConfig:
                                      # (pileups are never capped; features /
                                      # cluster scatter use the first cap
                                      # members by read index)
+    # single-device cluster member gather: pack (query, ref_col) retention
+    # into one int16 array ((rc+1)*8+q <= 16391 since ref_len_max=2048 and
+    # base codes are 0..4) hoisted once per round, so each leaf block does
+    # ONE 256B-row gather instead of two (128B int8 + 256B int16) - the
+    # gather is descriptor-bound on this target (CLAUDE.md rule of thumb).
+    # Unpacking after the gather is exact integer arithmetic: bitwise
+    # identical members. Costs one extra (B, L) int16 buffer, so the driver
+    # only engages it when B <= packed_member_gather_max_reads.
+    packed_member_gather: bool = True
+    packed_member_gather_max_reads: int = 12_000_000
     batch_size: int = 1024           # reads per device batch (global)
     mesh_data_axis: str = "data"
     shard_index: bool = False        # False: replicate index; True: ring-sharded

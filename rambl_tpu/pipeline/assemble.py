@@ -212,7 +212,8 @@ def cluster_round0_members(qm, rcm, bins_m, mvalid, counts, span_diff,
 def cluster_round0_core(query, ref_col, bins, counts, span_diff,
                         read_count, leaves, anc_path, depth,
                         cfg: PipelineConfig, node2slot=None,
-                        spawn: bool = True, bin_ranges=None):
+                        spawn: bool = True, bin_ranges=None,
+                        packed16=None):
     """Round-0 clustering + consensus over a set of leaves (no jit wrapper;
     the single-device entry - the mesh path gathers members distributedly in
     parallel.steps.make_cluster_step and joins at cluster_round0_members).
@@ -235,8 +236,16 @@ def cluster_round0_core(query, ref_col, bins, counts, span_diff,
     # member read tensors; ref_col may arrive int16 (streaming retention) -
     # widen only AFTER the member gather so the full-read-range array never
     # materializes in int32 (config-3: 10M reads x 128 cols)
-    qm = query[midx]                                     # (NL, M, L)
-    rcm = ref_col[midx].astype(jnp.int32)
+    if packed16 is not None:
+        # one int16 row gather instead of two (config.packed_member_gather):
+        # p = (rc+1)*8+q, exact for rc in [-1, 4094], q in [0, 7]. Unpack
+        # AFTER the gather where blocks are (NL, M, L); bitwise identical.
+        pm = packed16[midx].astype(jnp.int32)            # (NL, M, L)
+        qm = (pm % 8).astype(query.dtype)
+        rcm = pm // 8 - 1
+    else:
+        qm = query[midx]                                 # (NL, M, L)
+        rcm = ref_col[midx].astype(jnp.int32)
     return cluster_round0_members(
         qm, rcm, bins[midx], mvalid, counts, span_diff, read_count,
         leaves, anc_path, depth, cfg, node2slot=node2slot, spawn=spawn)
@@ -246,6 +255,14 @@ _cluster_consensus_round0 = functools.partial(
     jax.jit, static_argnames=("cfg", "spawn"))(cluster_round0_core)
 _bin_sort_jit = functools.partial(
     jax.jit, static_argnames=("n_nodes",))(bin_sort)
+
+
+@jax.jit
+def _pack_retention(query, ref_col):
+    """(query int8, ref_col int16) -> packed int16, (rc+1)*8+q (see
+    config.packed_member_gather). One elementwise pass, hoisted per round."""
+    return ((ref_col.astype(jnp.int32) + 1) * 8
+            + query.astype(jnp.int32)).astype(jnp.int16)
 
 
 
@@ -714,7 +731,7 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
             jnp.asarray(rec["bins"]), counts, span_diff, read_count,
             jnp.asarray(lp), jnp.asarray(tables.anc_path),
             jnp.asarray(tables.depth), cfg, node2slot_d, spawn=spawn,
-            bin_ranges=bin_ranges,
+            bin_ranges=bin_ranges, packed16=packed16,
         )
 
     # SPLIT by exclusivity: leaves with no reads binned AT them have an
@@ -728,6 +745,15 @@ def assemble_round_jax(reads, lens, ref_seqs, ref_lens, tables, cfg,
     # hoist the B-read argsort out of the block loop (1.4s/block measured)
     bin_ranges = (None if mesh is not None else
                   _bin_sort_jit(jnp.asarray(rec["bins"]), tables.n_nodes))
+    # hoist the packed member-gather retention (one int16 gather per block
+    # instead of int8+int16; config.packed_member_gather). Engaged only
+    # when the extra (B, L) int16 buffer fits and the pack is exact.
+    packed16 = None
+    if (mesh is None and cfg.packed_member_gather
+            and rec["query"].shape[0] <= cfg.packed_member_gather_max_reads
+            and cfg.ref_len_max <= 4094):
+        packed16 = _pack_retention(jnp.asarray(rec["query"]),
+                                   jnp.asarray(rec["ref_col"]))
     parts = []
     proc_leaves = []
     for lset, spawn in sets:

@@ -13,6 +13,12 @@ what the candidate reformulations buy:
                                         cost; amortizes over ~8 blocks)
   D  contiguous-range dynamic slices   (what bin-sorted retention enables:
                                         D=4 ranges x M rows per leaf)
+  E  one packed int16 gather           ((rc+1)*8+q <= 16391 fits int16 since
+                                        ref_len_max=2048, q in 0..4: ONE
+                                        gather, 256B rows vs A's 384B)
+  F  E with row-sorted indices         (ascending per leaf ~= the clustered
+                                        positions bin-sorted retention would
+                                        gather; measures locality benefit)
 
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_member_gather.py
 """
@@ -81,6 +87,25 @@ def main():
 
     gD = jax.jit(ranges)
     timed("D contiguous range reads", gD, [(starts0,), (starts1,)])
+
+    # E: int16 packed single gather (the production-shaped candidate:
+    # (rc+1)*8+q, unpack after the member gather where blocks are small)
+    packed16 = jax.jit(lambda: ((rc.astype(jnp.int32) + 1) * 8
+                                + q.astype(jnp.int32)).astype(jnp.int16))()
+    jax.block_until_ready(packed16)
+    gE = jax.jit(lambda mi: jnp.sum(packed16[mi].astype(jnp.int32)))
+    timed("E packed int16 gather   ", gE, [(midx0,), (midx1,)])
+
+    # F: same gather with ascending per-leaf indices - the locality the
+    # bin-sorted-position formulation would give (each leaf's rows fall in
+    # <=D contiguous runs; sorted random rows are the conservative model)
+    midx0s = jnp.sort(midx0, axis=1)
+    midx1s = jnp.sort(midx1, axis=1)
+    timed("F E w/ sorted row idx   ", gE, [(midx0s,), (midx1s,)])
+
+    gF2 = jax.jit(lambda mi: (jnp.sum(q[mi].astype(jnp.int32)),
+                              jnp.sum(rc[mi].astype(jnp.int32))))
+    timed("G A w/ sorted row idx   ", gF2, [(midx0s,), (midx1s,)])
 
 
 if __name__ == "__main__":

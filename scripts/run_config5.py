@@ -80,7 +80,11 @@ def main():
           f"{time.time() - t0:.0f}s", flush=True)
 
     batch = 16000 if n_reads % 16000 == 0 else 16384
-    cfg = PipelineConfig(batch_size=batch, max_genes=512,
+    # max_genes=512 saturated in the r4 run (507/512 full-length = cap-bound,
+    # VERDICT r4 weak #4: a quality-blind scale proof); default to the same
+    # 2048 cap the clean config-3 runs use, overridable like run_config3.
+    max_genes = int(os.environ.get("RAMBL_MAX_GENES", "2048"))
+    cfg = PipelineConfig(batch_size=batch, max_genes=max_genes,
                          max_clusters_per_bin=16, max_assembly_iters=3,
                          bin_share_depth=3, cluster_leaf_block=512,
                          sw_rows=104)
@@ -129,6 +133,30 @@ def main():
     print(f"phase B (resumed): {tB:.0f}s | total wall {wall:.0f}s")
     print(f"genes {len(res.genes)} full-length {n_full} | rounds "
           f"{res.n_rounds} (resumed from round {header['round']})")
+
+    # recovery vs the detectable present refs (same rule as run_config3;
+    # reads here were generated at 100x mean but in chunks, so recompute
+    # detectability from actual per-ref depth is unavailable - use the
+    # abundance-expected depth instead, matching the simulator's sampling)
+    from rambl_tpu.io.pack import decode_seq
+
+    def kmers(s, k=25):
+        return set(s[i: i + k] for i in range(len(s) - k + 1))
+
+    present = np.nonzero(ds.abundance > 0)[0]
+    p = ds.abundance[present] / ds.abundance.sum()
+    exp_depth = p * n_reads * 100.0  # expected bases per ref
+    detectable = present[exp_depth >= 3 * ds.ref_lens[present]]
+    refk = {int(r): kmers(decode_seq(ds.ref_seqs[r, : ds.ref_lens[r]]))
+            for r in present}
+    recovered = set()
+    for g in res.genes:
+        gk = kmers(decode_seq(g.seq))
+        best = max(refk, key=lambda r: len(gk & refk[r]))
+        if len(gk & refk[best]) / max(len(gk), 1) > 0.95:
+            recovered.add(best)
+    print(f"recovered>95% {len(recovered & set(int(x) for x in detectable))}"
+          f"/{detectable.size} detectable ({present.size} present)")
     print(f"effective throughput {aligns / wall:.0f} reads/s "
           f"(all stages, {aligns} alignments)")
     print(f"genes assembled/hour {len(res.genes) / (wall / 3600):.0f}")

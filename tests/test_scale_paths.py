@@ -248,3 +248,37 @@ def test_leaf_features_dense_matches_sorted_formulation():
         jnp.asarray(qm), jnp.asarray(rcm), jnp.asarray(mv),
         jnp.asarray(pc), jnp.asarray(pv), ref_len, chunk=2))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_packed_member_gather_parity():
+    """The packed int16 member gather (config.packed_member_gather, one
+    256B-row gather per block instead of int8+int16) is bitwise equal to the
+    two-gather path end-to-end, and the pack/unpack roundtrip is exact over
+    the full (rc, q) value grid."""
+    import dataclasses
+
+    from rambl_tpu.config import PipelineConfig
+    from rambl_tpu.data.simulate import simulate_dataset
+    from rambl_tpu.index.taxonomy import build_taxonomy_tables
+    from rambl_tpu.pipeline.assemble import _pack_retention, assemble_round_jax
+
+    # exact roundtrip over every representable (rc, q) pair
+    rc = np.repeat(np.arange(-1, 2048, dtype=np.int16), 5).reshape(-1, 5)
+    q = np.tile(np.arange(5, dtype=np.int8), (rc.shape[0], 1))
+    p = np.asarray(_pack_retention(jnp.asarray(q), jnp.asarray(rc))
+                   ).astype(np.int32)
+    np.testing.assert_array_equal(p % 8, q)
+    np.testing.assert_array_equal(p // 8 - 1, rc)
+
+    cfg = PipelineConfig(batch_size=128)  # packed_member_gather defaults on
+    ds = simulate_dataset(n_species=6, refs_per_species=2, n_reads=400,
+                          seed=7, skewed_abundance=False)
+    tax = build_taxonomy_tables(ds.tax_parent, ds.tax_depth, ds.ref_taxon)
+    g1, _ = assemble_round_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                               ds.ref_lens, tax, cfg, 0)
+    cfg_off = dataclasses.replace(cfg, packed_member_gather=False)
+    g2, _ = assemble_round_jax(ds.reads, ds.read_lens, ds.ref_seqs,
+                               ds.ref_lens, tax, cfg_off, 0)
+    assert [(g.key(), g.n_reads, g.leaf, g.cluster) for g in g1] == \
+           [(g.key(), g.n_reads, g.leaf, g.cluster) for g in g2]
+    assert len(g1) > 0
