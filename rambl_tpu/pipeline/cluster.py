@@ -84,30 +84,46 @@ def member_table_ranges(
     share_depth: int = MAX_DEPTH,
 ):
     """member_table without the (NL, B) mask: a leaf's members are the union
-    of its <= MAX_DEPTH ancestor-node ranges in the bin-sorted read order.
-    Each range is ascending in read index (stable sort), so the first
-    max_members of the merged union == member_table's. O(NL * D * M) instead
-    of O(NL * B) - the member path for full-Greengenes-scale taxonomies."""
-    from rambl_tpu.pipeline.pileup import chain_use_mask
+    of its ancestor-node ranges (depths [depth-share_depth, depth]) in the
+    bin-sorted read order. Each range is ascending in read index (stable
+    sort), so the first max_members of the merged union == member_table's.
+    O(NL * W * M) with W = share_depth+1 instead of O(NL * B).
 
+    The candidate list is compacted to the W live window depths BEFORE the
+    merge sort: the (NL, MAX_DEPTH*M) sort was the round-0 cluster block's
+    single largest cost (profile_cluster.py: 9.5 s/block at D=10, M=4096,
+    vs ~0.07 s for the row gathers themselves) and only W of the D depth
+    rows can hold reads. In-window path nodes are a unique real chain
+    (taxonomy.build_taxonomy_tables pads only BEYOND depth(leaf)), so the
+    candidate multiset - and the sorted first-M prefix - is bitwise
+    unchanged."""
     B = order.shape[0]
     M = max_members
-    paths = anc_path[leaves]                              # (NL, D)
-    use = chain_use_mask(leaves, depth, share_depth)      # (NL, D)
-    # a node may repeat on a padded path; count each range once
+    D = anc_path.shape[1]
+    W = min(share_depth + 1, D)
+    dl = depth[leaves][:, None]                           # (NL, 1)
+    didx = dl - (W - 1) + jnp.arange(W, dtype=jnp.int32)[None, :]  # (NL, W)
+    w_ok = (didx >= 0) & (didx <= dl)
+    paths = jnp.take_along_axis(
+        anc_path[leaves], jnp.clip(didx, 0, D - 1), axis=1)        # (NL, W)
+    # the clipped low end can repeat a node for shallow leaves; count each
+    # range once (a duplicate only suppresses against an earlier USABLE
+    # column - the clipped out-of-window copies must not shadow the real
+    # depth-0 range)
     first = jnp.ones_like(paths, dtype=bool)
-    for d in range(1, paths.shape[1]):
-        dup = (paths[:, d:d + 1] == paths[:, :d]).any(axis=1)
+    for d in range(1, W):
+        dup = ((paths[:, d:d + 1] == paths[:, :d])
+               & w_ok[:, :d]).any(axis=1)
         first = first.at[:, d].set(~dup)
-    use = use & first
-    starts = node_start[paths]                            # (NL, D)
-    cnt = jnp.where(use, node_end[paths] - starts, 0)     # (NL, D)
+    use = w_ok & first
+    starts = node_start[paths]                            # (NL, W)
+    cnt = jnp.where(use, node_end[paths] - starts, 0)     # (NL, W)
     k = jnp.arange(M, dtype=jnp.int32)
-    pos = starts[:, :, None] + k[None, None, :]           # (NL, D, M)
+    pos = starts[:, :, None] + k[None, None, :]           # (NL, W, M)
     valid = k[None, None, :] < cnt[:, :, None]
     cand = jnp.where(
         valid, order[jnp.clip(pos, 0, B - 1)], _BIG
-    ).reshape(paths.shape[0], -1)                         # (NL, D*M)
+    ).reshape(paths.shape[0], -1)                         # (NL, W*M)
     sortedk = jax.lax.sort(cand, dimension=1)[:, :M]
     ok = sortedk < _BIG
     return jnp.where(ok, sortedk, 0), ok

@@ -32,13 +32,18 @@ import numpy as np
 from rambl_tpu.utils.cache import enable_compile_cache
 
 
+def fetch(out):
+    # block_until_ready through the axon tunnel returns early (CLAUDE.md:
+    # naive block timing is bogus) - force a tiny host fetch per output
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(out)]
+
+
 def timed(name, f, args_list, reps=4):
-    out = f(*args_list[0])
-    jax.block_until_ready(out)
+    fetch(f(*args_list[0]))
     t0 = time.time()
     outs = [f(*args_list[i % len(args_list)]) for i in range(reps)]
     for o in outs:
-        jax.block_until_ready(o)
+        fetch(o)
     dt = (time.time() - t0) / reps
     print(f"{name}: {dt * 1e3:9.1f} ms", flush=True)
     return dt
@@ -49,33 +54,36 @@ def main():
     B, L = 10_000_000, 128
     NL, M, D = 512, 4096, 4
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.integers(0, 5, (B, L)).astype(np.int8))
-    rc = jnp.asarray(rng.integers(-1, 2047, (B, L)).astype(np.int16))
+    # pass the big arrays as ARGUMENTS, never closure constants: captured
+    # constants are inlined into the executable and the remote compile
+    # helper would have to ingest 3.8 GB per variant (measured: >10 min
+    # stuck in the first compile)
+    q = jax.device_put(rng.integers(0, 5, (B, L)).astype(np.int8))
+    rc = jax.device_put(rng.integers(-1, 2047, (B, L)).astype(np.int16))
+    jax.block_until_ready((q, rc))
     midx0 = jnp.asarray(rng.integers(0, B, (NL, M)).astype(np.int32))
     midx1 = jnp.asarray(rng.integers(0, B, (NL, M)).astype(np.int32))
     print(f"retention {B}x{L}: query int8 + ref_col int16 "
           f"({(B * L * 3) / 1e9:.1f} GB)", flush=True)
 
-    gA = jax.jit(lambda mi: (jnp.sum(q[mi].astype(jnp.int32)),
-                             jnp.sum(rc[mi].astype(jnp.int32))))
-    timed("A query+rc row gathers  ", gA, [(midx0,), (midx1,)])
+    gA = jax.jit(lambda q, rc, mi: (jnp.sum(q[mi].astype(jnp.int32)),
+                                    jnp.sum(rc[mi].astype(jnp.int32))))
+    timed("A query+rc row gathers  ", gA, [(q, rc, midx0), (q, rc, midx1)])
 
-    # B: packed single gather (pack on device once, outside the timed jit)
-    packed = jax.jit(lambda: (rc.astype(jnp.int32) + 1) * 8
-                     + q.astype(jnp.int32))()
+    # B: packed single int32 gather
+    packed = jax.jit(lambda rc, q: (rc.astype(jnp.int32) + 1) * 8
+                     + q.astype(jnp.int32))(rc, q)
     jax.block_until_ready(packed)
-    gB = jax.jit(lambda mi: jnp.sum(packed[mi]))
-    timed("B packed int32 gather   ", gB, [(midx0,), (midx1,)])
+    gB = jax.jit(lambda p, mi: jnp.sum(p[mi]))
+    timed("B packed int32 gather   ", gB, [(packed, midx0), (packed, midx1)])
 
     perm0 = jnp.asarray(rng.permutation(B).astype(np.int32))
-    gC = jax.jit(lambda p: (jnp.sum(q[p].astype(jnp.int32)),
-                            jnp.sum(rc[p].astype(jnp.int32))))
-    timed("C 10M-row perm reorder  ", gC, [(perm0,)], reps=2)
+    timed("C 10M-row perm reorder  ", gA, [(q, rc, perm0)], reps=2)
 
     starts0 = jnp.asarray(rng.integers(0, B - M, (NL, D)).astype(np.int32))
     starts1 = jnp.asarray(rng.integers(0, B - M, (NL, D)).astype(np.int32))
 
-    def ranges(st):
+    def ranges(q, rc, st):
         def leaf(s):
             sl = [jax.lax.dynamic_slice(q, (s[d], 0), (M, L))
                   for d in range(D)]
@@ -86,26 +94,28 @@ def main():
         return jnp.sum(jax.lax.map(leaf, st))
 
     gD = jax.jit(ranges)
-    timed("D contiguous range reads", gD, [(starts0,), (starts1,)])
+    timed("D contiguous range reads", gD, [(q, rc, starts0), (q, rc, starts1)])
 
     # E: int16 packed single gather (the production-shaped candidate:
     # (rc+1)*8+q, unpack after the member gather where blocks are small)
-    packed16 = jax.jit(lambda: ((rc.astype(jnp.int32) + 1) * 8
-                                + q.astype(jnp.int32)).astype(jnp.int16))()
+    packed16 = jax.jit(lambda rc, q: ((rc.astype(jnp.int32) + 1) * 8
+                                      + q.astype(jnp.int32)).astype(jnp.int16)
+                       )(rc, q)
     jax.block_until_ready(packed16)
-    gE = jax.jit(lambda mi: jnp.sum(packed16[mi].astype(jnp.int32)))
-    timed("E packed int16 gather   ", gE, [(midx0,), (midx1,)])
+    del packed
+    gE = jax.jit(lambda p, mi: jnp.sum(p[mi].astype(jnp.int32)))
+    timed("E packed int16 gather   ", gE, [(packed16, midx0),
+                                           (packed16, midx1)])
 
     # F: same gather with ascending per-leaf indices - the locality the
     # bin-sorted-position formulation would give (each leaf's rows fall in
     # <=D contiguous runs; sorted random rows are the conservative model)
     midx0s = jnp.sort(midx0, axis=1)
     midx1s = jnp.sort(midx1, axis=1)
-    timed("F E w/ sorted row idx   ", gE, [(midx0s,), (midx1s,)])
+    timed("F E w/ sorted row idx   ", gE, [(packed16, midx0s),
+                                           (packed16, midx1s)])
 
-    gF2 = jax.jit(lambda mi: (jnp.sum(q[mi].astype(jnp.int32)),
-                              jnp.sum(rc[mi].astype(jnp.int32))))
-    timed("G A w/ sorted row idx   ", gF2, [(midx0s,), (midx1s,)])
+    timed("G A w/ sorted row idx   ", gA, [(q, rc, midx0s), (q, rc, midx1s)])
 
 
 if __name__ == "__main__":

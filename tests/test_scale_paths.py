@@ -49,14 +49,25 @@ def test_member_table_ranges_matches_dense(toy_tax):
     leaves = jnp.asarray(np.array([3, 4, 5], np.int32))
     anc = jnp.asarray(toy_tax.anc_path)
     dep = jnp.asarray(toy_tax.depth)
+    # every node as a leaf candidate, including depth-0/1 shallow ones: the
+    # windowed candidate compaction (W = share_depth+1) must reproduce the
+    # dense mask exactly when the window clips at the root
+    all_nodes = jnp.asarray(np.arange(toy_tax.n_nodes, dtype=np.int32))
+    from rambl_tpu.index.taxonomy import MAX_DEPTH
+
     for M in (4, 32, 1024):
-        i1, v1 = member_table(bins, leaves, anc, dep, M)
-        order, ns, ne = bin_sort(bins, toy_tax.n_nodes)
-        i2, v2 = member_table_ranges(order, ns, ne, leaves, anc, dep, M)
-        n = min(M, B)   # dense table caps its width at B
-        np.testing.assert_array_equal(np.asarray(v1)[:, :n], np.asarray(v2)[:, :n])
-        np.testing.assert_array_equal(np.asarray(i1)[:, :n], np.asarray(i2)[:, :n])
-        assert not np.asarray(v2)[:, n:].any()
+        for share in (MAX_DEPTH, 3, 1, 0):
+            for lv in (leaves, all_nodes):
+                i1, v1 = member_table(bins, lv, anc, dep, M, share)
+                order, ns, ne = bin_sort(bins, toy_tax.n_nodes)
+                i2, v2 = member_table_ranges(order, ns, ne, lv, anc, dep, M,
+                                             share)
+                n = min(M, B)   # dense table caps its width at B
+                np.testing.assert_array_equal(
+                    np.asarray(v1)[:, :n], np.asarray(v2)[:, :n])
+                np.testing.assert_array_equal(
+                    np.asarray(i1)[:, :n], np.asarray(i2)[:, :n])
+                assert not np.asarray(v2)[:, n:].any()
 
 
 def test_slot_pileup_matches_dense(toy_tax):
