@@ -98,7 +98,9 @@ def main():
         if counts_s is not None and int(node2slot[t]) >= 0:
             # NOTE: gene coords map onto the ANCHOR of its leaf; with
             # leaf_per_ref the ref IS the anchor, so m addresses the pileup
-            c_leaf = counts_s[int(node2slot[t])]
+            # slot counts are stored FLAT (ref_len*4,) per row since the
+            # tiled-layout fix (pipeline/pileup.py); view as (ref_len, 4)
+            c_leaf = counts_s[int(node2slot[t])].reshape(-1, 4)
             per = Counter()
             for gi_pos in np.nonzero(wrong_mask)[0]:
                 col = int(m[gi_pos])
