@@ -129,7 +129,7 @@ def main():
     # fills + read_count accum + fresh H2D per batch, 16 batches, one sync
     from rambl_tpu.pipeline.assemble import _fill_rows, _read_count_accum
 
-    nb = 16
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     # retention buffers at FULL production size (10M rows): donated
     # dynamic_update_slice cost must be O(batch), not O(buffer) - if this
     # differs from the small-buffer run, donation is copying
